@@ -1,0 +1,170 @@
+"""Benchmark: batched greedy-decode inference RTFx on the flagship model.
+
+Workload (BASELINE.json config 5-flavored): batched transcription —
+padded waveform batch -> on-device log-mel -> Conformer forward (bf16) ->
+on-device greedy CTC collapse -> packed ids to host.
+
+Prints ONE JSON line:
+    {"metric": "rtfx_greedy_batch", "value": N,
+     "unit": "audio_sec/sec/chip", "vs_baseline": R}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), and its
+torchaudio/CUDA stack cannot run in this image, so the baseline is the
+closest executable proxy: the same Conformer architecture implemented with
+stock torch.nn modules, run on CPU over identical precomputed features
+(measured once, cached in baseline_measured.json).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 16
+SECONDS = 8.0
+SR = 16000
+ITERS = 5
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "baseline_measured.json")
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    from turkish_asr_tpu.models.conformer import init_model, apply_model
+    from turkish_asr_tpu.audio.features import log_mel_spectrogram
+    from turkish_asr_tpu.decode.greedy import greedy_collapse_batch
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def pipeline(waveforms, wav_lengths):
+        feats, frame_lengths = log_mel_spectrogram(
+            waveforms, wav_lengths, n_mels=cfg.n_mels)
+        logits, _ = apply_model(params, state, feats, frame_lengths,
+                                cfg=cfg, train=False,
+                                compute_dtype=jnp.bfloat16)
+        out_lengths = frame_lengths // 4
+        ids, counts = greedy_collapse_batch(logits, out_lengths, blank_id=0)
+        return ids, counts
+
+    S = int(SECONDS * SR)
+    rng = np.random.default_rng(0)
+    waveforms = jnp.asarray((rng.standard_normal((BATCH, S)) * 0.1)
+                            .astype(np.float32))
+    wav_lengths = jnp.full((BATCH,), S, dtype=jnp.int32)
+
+    # warmup / compile
+    ids, counts = pipeline(waveforms, wav_lengths)
+    jax.block_until_ready((ids, counts))
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        ids, counts = pipeline(waveforms, wav_lengths)
+    jax.block_until_ready((ids, counts))
+    elapsed = time.perf_counter() - start
+
+    audio_sec = ITERS * BATCH * SECONDS
+    return audio_sec / elapsed
+
+
+def bench_torch_baseline():
+    """Reference-architecture forward in stock torch.nn on CPU (proxy
+    baseline; the actual reference stack needs torchaudio+CUDA)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["rtfx_torch_cpu"]
+    try:
+        import torch
+    except ImportError:
+        return None
+
+    torch.manual_seed(0)
+    d, heads, blocks, n_mels, vocab = 256, 4, 8, 80, 55
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.n1 = torch.nn.GroupNorm(32, d)
+            self.ff1a = torch.nn.Linear(d, 8 * d)
+            self.ff1b = torch.nn.Linear(4 * d, d)
+            self.attn = torch.nn.MultiheadAttention(d, heads, batch_first=True)
+            self.n2 = torch.nn.GroupNorm(32, d)
+            self.pw1 = torch.nn.Conv1d(d, 2 * d, 1)
+            self.dw = torch.nn.Conv1d(d, d, 31, padding=15, groups=d)
+            self.bn = torch.nn.BatchNorm1d(d)
+            self.pw2 = torch.nn.Conv1d(d, d, 1)
+            self.ff2a = torch.nn.Linear(d, 8 * d)
+            self.ff2b = torch.nn.Linear(4 * d, d)
+            self.n3 = torch.nn.GroupNorm(32, d)
+
+        def _gn(self, norm, x):
+            return norm(x.transpose(1, 2)).transpose(1, 2)
+
+        def _ff(self, a, b, x):
+            h = a(x)
+            h1, h2 = h.chunk(2, dim=-1)
+            return b(torch.nn.functional.silu(h1) * h2)
+
+        def forward(self, x):
+            x = x + 0.5 * self._ff(self.ff1a, self.ff1b, self._gn(self.n1, x))
+            a, _ = self.attn(x, x, x, need_weights=False)
+            x = x + a
+            h = x.transpose(1, 2)
+            h = self.pw2(torch.nn.functional.silu(self.bn(self.dw(
+                torch.nn.functional.glu(self.pw1(h), dim=1)))))
+            x = x + h.transpose(1, 2)
+            x = x + 0.5 * self._ff(self.ff2a, self.ff2b, self._gn(self.n2, x))
+            return self._gn(self.n3, x)
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.sub = torch.nn.Sequential(
+                torch.nn.Conv2d(1, d, 3, 2, 1), torch.nn.SiLU(),
+                torch.nn.Conv2d(d, d, 3, 2, 1), torch.nn.SiLU())
+            self.proj = torch.nn.Linear(d * (n_mels // 4), d)
+            self.blocks = torch.nn.ModuleList([Block() for _ in range(blocks)])
+            self.fc = torch.nn.Linear(d, vocab)
+
+        def forward(self, feats):
+            x = self.sub(feats.unsqueeze(1))
+            b, c, t, f = x.shape
+            x = self.proj(x.permute(0, 2, 1, 3).reshape(b, t, c * f))
+            for blk in self.blocks:
+                x = blk(x)
+            return self.fc(x)
+
+    model = Model().eval()
+    T = int(1 + SECONDS * SR / 160)
+    feats = torch.randn(BATCH, T, n_mels)
+    with torch.no_grad():
+        model(feats)  # warmup
+        start = time.perf_counter()
+        for _ in range(2):
+            out = model(feats)
+            out.argmax(-1)
+        elapsed = time.perf_counter() - start
+    rtfx = 2 * BATCH * SECONDS / elapsed
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"rtfx_torch_cpu": rtfx}, f)
+    return rtfx
+
+
+def main():
+    rtfx = bench_tpu()
+    baseline = bench_torch_baseline()
+    vs = rtfx / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": "rtfx_greedy_batch",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Turkish ASR inference CLI (TPU-native).
+
+Flag/behavior parity with /root/reference/inference.py:151-189 (--audio,
+--model, --beam_search, --beam_width, --n_mel_channels, --d_model,
+--n_heads, --n_blocks; file-or-directory input), plus an additive ``--lm``
+flag wiring KenLM/ARPA shallow fusion into beam search (the reference's
+create_decoder supports an LM but its CLI never exposes it — SURVEY.md §2).
+
+Pipeline: wav decode (host) -> jitted log-mel front-end -> jitted Conformer
+forward at static bucketed lengths -> greedy collapse on device (or prefix
+beam search). CPU-runnable: JAX falls back to the CPU backend when no TPU
+is present.
+"""
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from turkish_asr_tpu.audio.features import log_mel_spectrogram
+from turkish_asr_tpu.audio.wavio import load_audio
+from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+from turkish_asr_tpu.data.dataset import bucket_table, DEFAULT_WAVEFORM_BUCKETS
+from turkish_asr_tpu.models.conformer import ModelConfig, init_model, apply_model
+from turkish_asr_tpu.decode.greedy import GreedyDecoder
+from turkish_asr_tpu.decode.beam import CTCBeamDecoder
+from turkish_asr_tpu.decode.lm import KenLMModel, NGramLanguageModel
+from turkish_asr_tpu.train.checkpoint import load_checkpoint_file
+
+
+class ASRInference:
+    """ASR inference pipeline.
+
+    Usage:
+        asr = ASRInference("model.ckpt")
+        text = asr.transcribe("audio.wav")
+    """
+
+    def __init__(
+        self,
+        model_path,
+        n_mel_channels=80,
+        d_model=256,
+        n_heads=4,
+        n_blocks=8,
+        use_beam_search=False,
+        beam_width=10,
+        lm_path=None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.tokenizer = TurkishTokenizer()
+
+        ckpt = load_checkpoint_file(model_path)
+        meta = ckpt.get("meta", {}) or {}
+        mc = meta.get("model_config", {}) or {}
+        self.cfg = ModelConfig(
+            n_mels=int(mc.get("n_mels", n_mel_channels)),
+            d_model=int(mc.get("d_model", d_model)),
+            n_heads=int(mc.get("n_heads", n_heads)),
+            n_blocks=int(mc.get("n_blocks", n_blocks)),
+            n_classes=int(mc.get("n_classes", self.tokenizer.vocab_size)),
+            dropout=0.0,
+        )
+        params = ckpt.get("params") or {}
+        if not params:
+            raise ValueError(f"No params found in checkpoint: {model_path}")
+        self.params = jax.tree.map(jnp.asarray, params)
+        model_state = ckpt.get("model_state") or {}
+        if model_state:
+            self.model_state = jax.tree.map(jnp.asarray, model_state)
+        else:
+            _, self.model_state = init_model(jax.random.PRNGKey(0), self.cfg)
+        self.compute_dtype = compute_dtype
+
+        cfg = self.cfg
+
+        @jax.jit
+        def forward(params, model_state, waveform, length):
+            feats, frame_lengths = log_mel_spectrogram(
+                waveform[None, :], length[None], n_mels=cfg.n_mels)
+            logits, _ = apply_model(params, model_state, feats, frame_lengths,
+                                    cfg=cfg, train=False,
+                                    compute_dtype=compute_dtype)
+            return logits[0], frame_lengths[0] // 4
+
+        self._forward = forward
+
+        self.use_beam_search = use_beam_search
+        if use_beam_search:
+            lm = KenLMModel(lm_path) if (lm_path and os.path.exists(lm_path)) \
+                else NGramLanguageModel()
+            self.decoder = CTCBeamDecoder(self.tokenizer,
+                                          beam_width=beam_width, lm=lm)
+        else:
+            self.decoder = None
+        self.greedy = GreedyDecoder(self.tokenizer)
+        print(f"ASR ready on {jax.devices()[0].platform}")
+
+    def _logits(self, audio_path):
+        waveform, _ = load_audio(audio_path)
+        n = waveform.shape[0]
+        S = bucket_table(n, DEFAULT_WAVEFORM_BUCKETS)
+        padded = np.zeros((S,), dtype=np.float32)
+        padded[: min(n, S)] = waveform[:S]
+        logits, out_len = self._forward(
+            self.params, self.model_state, jnp.asarray(padded),
+            jnp.asarray(min(n, S), dtype=jnp.int32))
+        return np.asarray(logits), int(out_len)
+
+    def transcribe(self, audio_path):
+        """Transcribe a single audio file -> text."""
+        logits, out_len = self._logits(audio_path)
+        logits = logits[:out_len]
+        if self.use_beam_search and self.decoder:
+            return self.decoder.decode(logits)
+        pred_ids = np.argmax(logits, axis=-1).tolist()
+        return self.tokenizer.ctc_decode(pred_ids)
+
+    def transcribe_batch(self, audio_paths):
+        """Transcribe multiple files; errors yield "" (reference contract)."""
+        results = []
+        for path in audio_paths:
+            try:
+                results.append(self.transcribe(path))
+            except Exception as e:  # noqa: BLE001
+                print(f"Error processing {path}: {e}")
+                results.append("")
+        return results
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Turkish ASR Inference (TPU)")
+    parser.add_argument("--audio", type=str, required=True, help="Audio file or directory")
+    parser.add_argument("--model", type=str, required=True, help="Model checkpoint path")
+    parser.add_argument("--beam_search", action="store_true", help="Use beam search decoding")
+    parser.add_argument("--beam_width", type=int, default=10, help="Beam width")
+    parser.add_argument("--n_mel_channels", type=int, default=80, help="Mel channels")
+    parser.add_argument("--d_model", type=int, default=256, help="Model dimension")
+    parser.add_argument("--n_heads", type=int, default=4, help="Attention heads")
+    parser.add_argument("--n_blocks", type=int, default=8, help="Conformer blocks")
+    parser.add_argument("--lm", type=str, default=None,
+                        help="KenLM/ARPA language model for beam-search fusion")
+    args = parser.parse_args()
+
+    asr = ASRInference(
+        model_path=args.model,
+        n_mel_channels=args.n_mel_channels,
+        d_model=args.d_model,
+        n_heads=args.n_heads,
+        n_blocks=args.n_blocks,
+        use_beam_search=args.beam_search,
+        beam_width=args.beam_width,
+        lm_path=args.lm,
+    )
+
+    audio_path = Path(args.audio)
+    if audio_path.is_dir():
+        audio_files = sorted(audio_path.glob("*.wav"))
+        print(f"Found {len(audio_files)} audio files")
+        for f in audio_files:
+            print(f"{f.name}: {asr.transcribe(str(f))}")
+    else:
+        print(f"\nTranscription:\n{asr.transcribe(str(audio_path))}\n")
+
+
+if __name__ == "__main__":
+    main()

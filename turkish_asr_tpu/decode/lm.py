@@ -1,0 +1,166 @@
+"""Language models for shallow fusion in beam-search decoding.
+
+Reference counterparts (/root/reference/utils/decoding.py:23-125):
+- KenLMModel: wraps the kenlm C++ package. Here the wrapper first tries
+  ``import kenlm``; when unavailable (as in a hermetic TPU image) it falls
+  back to a self-contained **ARPA backoff n-gram scorer**
+  (:class:`ArpaLanguageModel`) with the same log10 ``score`` /
+  ``score_word`` API — so ``--lm path/to/lm.arpa`` works with no external
+  dependency.
+- NGramLanguageModel: pure count-based n-gram with the reference's exact
+  semantics (order 3, -10.0 unknown penalty, <s>/</s> padding).
+"""
+
+import math
+from collections import defaultdict
+
+
+class ArpaLanguageModel:
+    """Backoff n-gram LM loaded from an ARPA file (log10 scores).
+
+    Implements the standard Katz backoff query:
+        p(w|h) = prob(h,w)                  if (h,w) in table
+               = backoff(h) + p(w|h[1:])    otherwise
+    matching KenLM's scoring for the same ARPA input.
+    """
+
+    def __init__(self, model_path):
+        self.logprob = {}
+        self.backoff = {}
+        self.order = 1
+        self._load(model_path)
+
+    def _load(self, path):
+        cur_order = 0
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            section = None
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("\\") and "-grams:" in line:
+                    cur_order = int(line[1:line.index("-")])
+                    self.order = max(self.order, cur_order)
+                    section = "grams"
+                    continue
+                if line.startswith("\\"):
+                    section = None
+                    continue
+                if section != "grams":
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    parts = line.split()
+                    if len(parts) < cur_order + 1:
+                        continue
+                    lp = parts[0]
+                    words = tuple(parts[1:1 + cur_order])
+                    bo = parts[1 + cur_order] if len(parts) > 1 + cur_order else None
+                else:
+                    lp = parts[0]
+                    words = tuple(parts[1].split())
+                    bo = parts[2] if len(parts) > 2 else None
+                try:
+                    self.logprob[words] = float(lp)
+                    if bo is not None:
+                        self.backoff[words] = float(bo)
+                except ValueError:
+                    continue
+
+    def _cond_score(self, history, word):
+        """log10 p(word | history) with backoff."""
+        for start in range(len(history) + 1):
+            h = history[start:]
+            ng = h + (word,)
+            if ng in self.logprob:
+                # accumulate backoff weights of the skipped longer histories
+                bo = 0.0
+                for s2 in range(start):
+                    h2 = history[s2:]
+                    bo += self.backoff.get(h2, 0.0)
+                return bo + self.logprob[ng]
+        # fully unseen: back off to <unk>
+        bo = sum(self.backoff.get(history[s:], 0.0) for s in range(len(history)))
+        return bo + self.logprob.get(("<unk>",), -10.0)
+
+    def score(self, text, bos=True, eos=True):
+        """log10 probability of the whole text (KenLM .score contract)."""
+        words = text.split()
+        tokens = (["<s>"] if bos else []) + words + (["</s>"] if eos else [])
+        total = 0.0
+        start = 1 if bos else 0
+        for i in range(start, len(tokens)):
+            history = tuple(tokens[max(0, i - self.order + 1):i])
+            total += self._cond_score(history, tokens[i])
+        return total
+
+    def score_word(self, word, context=""):
+        full_text = f"{context} {word}".strip()
+        if context:
+            return (self.score(full_text, bos=True, eos=False)
+                    - self.score(context, bos=True, eos=False))
+        return self.score(word, bos=True, eos=False)
+
+
+class KenLMModel:
+    """KenLM if installed, ArpaLanguageModel fallback otherwise.
+
+    API parity with the reference KenLMModel
+    (/root/reference/utils/decoding.py:23-85): ``score(text, bos, eos)``
+    and ``score_word(word, context)`` in log10.
+    """
+
+    def __init__(self, model_path):
+        self.backend = None
+        try:
+            import kenlm
+            self.model = kenlm.Model(model_path)
+            self.order = self.model.order
+            self.backend = "kenlm"
+        except ImportError:
+            self.model = ArpaLanguageModel(model_path)
+            self.order = self.model.order
+            self.backend = "arpa"
+        print(f"LM loaded ({self.backend}): {model_path} (order={self.order})")
+
+    def score(self, text, bos=True, eos=True):
+        return self.model.score(text, bos=bos, eos=eos)
+
+    def score_word(self, word, context=""):
+        if self.backend == "kenlm":
+            full_text = f"{context} {word}".strip()
+            if context:
+                return (self.model.score(full_text, bos=True, eos=False)
+                        - self.model.score(context, bos=True, eos=False))
+            return self.model.score(word, bos=True, eos=False)
+        return self.model.score_word(word, context)
+
+
+class NGramLanguageModel:
+    """Count-based n-gram fallback (reference decoding.py:88-125)."""
+
+    def __init__(self, order=3):
+        self.order = order
+        self.counts = defaultdict(int)
+        self.total_counts = defaultdict(int)
+
+    def train(self, texts, tokenizer=None):
+        for text in texts:
+            if tokenizer:
+                tokens = tokenizer.encode(text)
+            else:
+                tokens = text.lower().split()
+            tokens = ["<s>"] * (self.order - 1) + list(tokens) + ["</s>"]
+            for i in range(len(tokens) - self.order + 1):
+                ngram = tuple(tokens[i:i + self.order])
+                self.counts[ngram] += 1
+                self.total_counts[ngram[:-1]] += 1
+
+    def score(self, history, next_token):
+        hist = tuple(history[-(self.order - 1):] if self.order > 1 else [])
+        ngram = hist + (next_token,)
+        count = self.counts.get(ngram, 0)
+        total = self.total_counts.get(hist, 0)
+        if total == 0:
+            return -10.0
+        return math.log(count / total + 1e-10)

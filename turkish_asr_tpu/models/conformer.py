@@ -160,14 +160,16 @@ def _conv1d_init(key, k, c_in, c_out, groups=1):
 
 
 def _conv1d(p, x, *, stride=1, padding, groups=1, compute_dtype=jnp.float32):
+    # Same-dtype conv (the conv transpose rule requires matching operand
+    # dtypes under autodiff); upcast to fp32 at the bias add.
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), p["w"].astype(compute_dtype),
         window_strides=(stride,), padding=[(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )
-    return out + p["b"]
+    return out.astype(jnp.float32) + p["b"]
 
 
 def _init_conv_module(key, d_model, kernel_size):
@@ -261,9 +263,9 @@ def _conv2d(p, x, *, stride, padding, compute_dtype):
         x.astype(compute_dtype), p["w"].astype(compute_dtype),
         window_strides=(stride, stride), padding=[(padding, padding)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )
-    return out + p["b"]
+    return out.astype(jnp.float32) + p["b"]
 
 
 def init_model(key, cfg: ModelConfig):

@@ -1,0 +1,205 @@
+"""Vectorized CTC prefix beam search on device.
+
+The reference's beam decoder is a per-timestep Python loop over a prefix
+dict (/root/reference/utils/decoding.py:204-296) — T * beams * 2k host
+iterations per utterance. Here the whole search runs inside one
+`lax.scan`, batch-parallel under `vmap`, with fixed-shape state:
+
+state per batch item (W = beam_width):
+    prefixes  (W, L)  materialized token rows
+    lengths   (W,)    prefix lengths
+    last      (W,)    last token (-1 for the empty prefix)
+    p_b, p_nb (W,)    log P(prefix ending in blank / non-blank)
+    h1, h2    (W,)    two independent rolling hashes of the prefix
+
+per step: W "stay" candidates (blank + same-token merge) and W*K "extend"
+candidates (top-K tokens, K = 2W). Equal prefixes among candidates are
+merged by sorting on the hash pair and log-sum-exp-ing adjacent equal
+runs — the fixed-shape analog of the reference's dict merge. Top-W by
+total probability survive.
+
+No LM fusion on device (host CTCBeamDecoder covers LM shallow fusion);
+word-bonus reranking is a host-side post-step.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+_P1, _M1 = 1000003, 2147483647   # rolling-hash params (int32-safe mod)
+_P2, _M2 = 4097, 1073741789
+
+
+def _lse(a, b):
+    mx = jnp.maximum(a, b)
+    return mx + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+
+
+def _hash_step(h, tok, p, m):
+    # (h * p + tok + 1) mod m, in int64-free int32 arithmetic via float64?
+    # Use uint32 wraparound multiply then mod m — deterministic and cheap.
+    hu = h.astype(jnp.uint32)
+    out = (hu * jnp.uint32(p) + tok.astype(jnp.uint32) + jnp.uint32(1)) % jnp.uint32(m)
+    return out.astype(jnp.int32)
+
+
+def _merge_candidates(h1, h2, p_b, p_nb, parent, tok):
+    """Sort candidates by hash pair; merge adjacent equal prefixes.
+
+    Returns merged (h1, h2, p_b, p_nb, parent, tok) where duplicates have
+    been folded into the first occurrence and the rest disabled (NEG_INF).
+    """
+    N = h1.shape[0]
+    # Lexicographic sort on (h1, h2): combine into one monotonic float key?
+    # Safer: sort by h1, then stable-sort by nothing else — instead use a
+    # single 52-bit-exact float64-free key: h1 * 2^31 + h2 won't fit int32.
+    # Use jax.lax.sort with two keys (lexicographic, supported).
+    (h1s, h2s, pbs, pnbs, pars, toks) = jax.lax.sort(
+        (h1, h2, p_b, p_nb, parent, tok), num_keys=2)
+
+    same = (h1s == jnp.roll(h1s, 1)) & (h2s == jnp.roll(h2s, 1))
+    same = same.at[0].set(False)
+
+    # Segment-merge runs of equal prefixes via associative scan over
+    # (value, is_segment_start) pairs in log space.
+    def combine(a, b):
+        (pb_a, pnb_a, start_a) = a
+        (pb_b, pnb_b, start_b) = b
+        pb = jnp.where(start_b, pb_b, _lse(pb_a, pb_b))
+        pnb = jnp.where(start_b, pnb_b, _lse(pnb_a, pnb_b))
+        return (pb, pnb, start_a | start_b)
+
+    start = ~same
+    pb_acc, pnb_acc, _ = jax.lax.associative_scan(
+        combine, (pbs, pnbs, start))
+    # The *last* element of each run holds the full merged sum. An element
+    # is a run-end when the next element starts a new run.
+    next_start = jnp.roll(start, -1).at[-1].set(True)
+    is_run_end = next_start
+    pb_m = jnp.where(is_run_end, pb_acc, NEG_INF)
+    pnb_m = jnp.where(is_run_end, pnb_acc, NEG_INF)
+    return h1s, h2s, pb_m, pnb_m, pars, toks
+
+
+def _beam_step(state, logp_t, active, beam_width, blank_id, L):
+    prefixes, lengths, last, p_b, p_nb, h1, h2 = state
+    W = beam_width
+    V = logp_t.shape[0]
+    K = min(V, 2 * W)  # top-K expansion, K = 2W like the reference
+
+    top_logp, top_tok = jax.lax.top_k(logp_t, K)       # (K,)
+    total = _lse(p_b, p_nb)                            # (W,)
+    lp_blank = logp_t[blank_id]
+
+    # --- stay candidates (W): blank transition + same-token merge --------
+    stay_pb = total + lp_blank
+    lp_last = jnp.where(last >= 0, logp_t[jnp.clip(last, 0, V - 1)], NEG_INF)
+    stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG_INF)
+    stay_parent = jnp.arange(W)
+    stay_tok = jnp.full((W,), -1)                      # -1 = no extension
+    stay_h1, stay_h2 = h1, h2
+
+    # --- extend candidates (W*K) ------------------------------------------
+    tok = jnp.broadcast_to(top_tok[None, :], (W, K))       # (W, K)
+    lp = jnp.broadcast_to(top_logp[None, :], (W, K))
+    is_blank = tok == blank_id
+    is_repeat = tok == last[:, None]
+    ext_pnb = jnp.where(is_repeat, p_b[:, None] + lp, total[:, None] + lp)
+    ext_pnb = jnp.where(is_blank, NEG_INF, ext_pnb)
+    # Dead parents must not spawn candidates.
+    ext_pnb = jnp.where(total[:, None] <= NEG_INF * 0.5, NEG_INF, ext_pnb)
+    ext_pb = jnp.full((W, K), NEG_INF)
+    ext_parent = jnp.broadcast_to(jnp.arange(W)[:, None], (W, K))
+    ext_h1 = _hash_step(jnp.broadcast_to(h1[:, None], (W, K)), tok, _P1, _M1)
+    ext_h2 = _hash_step(jnp.broadcast_to(h2[:, None], (W, K)), tok, _P2, _M2)
+    # Disable blank "extensions" in the hash space too (unique dummy ids).
+    dummy = (jnp.arange(W * K).reshape(W, K) + jnp.int32(2 ** 30))
+    ext_h1 = jnp.where(is_blank, dummy, ext_h1)
+    ext_h2 = jnp.where(is_blank, dummy, ext_h2)
+
+    # --- pool, merge, select ----------------------------------------------
+    c_h1 = jnp.concatenate([stay_h1, ext_h1.reshape(-1)])
+    c_h2 = jnp.concatenate([stay_h2, ext_h2.reshape(-1)])
+    c_pb = jnp.concatenate([stay_pb, ext_pb.reshape(-1)])
+    c_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    c_parent = jnp.concatenate([stay_parent, ext_parent.reshape(-1)])
+    c_tok = jnp.concatenate([stay_tok, tok.reshape(-1)])
+
+    m_h1, m_h2, m_pb, m_pnb, m_parent, m_tok = _merge_candidates(
+        c_h1, c_h2, c_pb, c_pnb, c_parent, c_tok)
+
+    score = _lse(m_pb, m_pnb)
+    top_score, top_idx = jax.lax.top_k(score, W)
+
+    n_h1 = m_h1[top_idx]
+    n_h2 = m_h2[top_idx]
+    n_pb = m_pb[top_idx]
+    n_pnb = m_pnb[top_idx]
+    sel_parent = m_parent[top_idx]
+    sel_tok = m_tok[top_idx]
+
+    n_prefixes = prefixes[sel_parent]                   # (W, L)
+    n_lengths = lengths[sel_parent]
+    n_last = last[sel_parent]
+    extended = sel_tok >= 0
+    write_pos = jnp.clip(n_lengths, 0, L - 1)
+    rows = jnp.arange(W)
+    n_prefixes = n_prefixes.at[rows, write_pos].set(
+        jnp.where(extended, sel_tok, n_prefixes[rows, write_pos]))
+    n_lengths = jnp.where(extended, jnp.minimum(n_lengths + 1, L), n_lengths)
+    n_last = jnp.where(extended, sel_tok, n_last)
+
+    new_state = (n_prefixes, n_lengths, n_last, n_pb, n_pnb, n_h1, n_h2)
+    # Frames past the utterance end freeze the state (scalar `active`
+    # broadcasts against every state tensor).
+    return jax.tree.map(lambda new, old: jnp.where(active, new, old),
+                        new_state, state)
+
+
+def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len):
+    T, V = logp.shape
+    W, L = beam_width, max_prefix_len
+
+    prefixes = jnp.zeros((W, L), dtype=jnp.int32)
+    lengths = jnp.zeros((W,), dtype=jnp.int32)
+    last = jnp.full((W,), -1, dtype=jnp.int32)
+    p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
+    p_nb = jnp.full((W,), NEG_INF)
+    h1 = jnp.arange(W, dtype=jnp.int32)  # distinct so dead beams don't merge
+    h2 = jnp.arange(W, dtype=jnp.int32)
+    # Beam 0 (the live empty prefix) gets the canonical hash seed 0.
+    state = (prefixes, lengths, last, p_b, p_nb, h1, h2)
+
+    def step(state, t):
+        active = t < length
+        new_state = _beam_step(state, logp[t], active, W, blank_id, L)
+        return new_state, None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(T))
+    prefixes, lengths, last, p_b, p_nb, _, _ = state
+    best = jnp.argmax(_lse(p_b, p_nb))
+    return prefixes[best], lengths[best]
+
+
+@partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len"))
+def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
+                    max_prefix_len=None):
+    """Batched on-device CTC prefix beam search.
+
+    Args:
+        log_probs: (B, T, V) log-softmax outputs.
+        lengths: optional (B,) valid frame counts.
+
+    Returns:
+        (ids (B, Lmax) int32, counts (B,)) — best beam per batch item.
+    """
+    B, T, V = log_probs.shape
+    L = max_prefix_len or T
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    fn = partial(_beam_search_single, beam_width=beam_width,
+                 blank_id=blank_id, max_prefix_len=L)
+    ids, counts = jax.vmap(fn)(log_probs, lengths)
+    return ids, counts

@@ -1,0 +1,107 @@
+"""Device mesh + sharding layout.
+
+The reference is single-process/single-GPU — no distributed anything
+(SURVEY.md §2, "Parallelism strategies: ABSENT"). Scaling here is
+first-class and entirely declarative: pick a `jax.sharding.Mesh`, annotate
+array shardings, and let XLA insert the collectives over ICI.
+
+Axes:
+- "data": batch-dimension sharding (default: all devices). Gradient
+  all-reduce is inserted by XLA because replicated params consume sharded
+  batch gradients.
+- "model": optional tensor parallelism for wide configs (Conformer-L):
+  SwiGLU hidden dim and attention head projections are sharded; XLA
+  inserts the reduce-scatter/all-gather pairs at the block boundaries.
+
+No NCCL/MPI analog exists or is needed: `psum` & friends are compiler
+artifacts of the sharding annotations.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(spec=None, devices=None):
+    """Build a Mesh from a spec string like "data=4,model=2".
+
+    Default: all devices on the "data" axis. A trailing axis size of -1 is
+    inferred from the device count.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if not spec:
+        return Mesh(np.array(devices), axis_names=("data",))
+    names, sizes = [], []
+    for part in spec.split(","):
+        k, v = part.split("=")
+        names.append(k.strip())
+        sizes.append(int(v))
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n // known
+    total = int(np.prod(sizes))
+    if total != n:
+        raise ValueError(f"mesh {spec} needs {total} devices, have {n}")
+    dev_array = np.array(devices).reshape(sizes)
+    return Mesh(dev_array, axis_names=tuple(names))
+
+
+def batch_sharding(mesh, ndim=1):
+    """Shard the leading (batch) axis over "data", replicate the rest."""
+    spec = ("data",) + (None,) * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a dict of host arrays with the batch axis sharded on "data"."""
+    return {
+        k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+        for k, v in batch.items()
+    }
+
+
+def _spec_for_param(path, leaf, mesh):
+    """Tensor-parallel layout rules (active only when a "model" axis exists).
+
+    - SwiGLU in-projection  (..., d_model, 2*d_ff): shard output dim
+    - SwiGLU out-projection (..., d_ff, d_model):  shard input dim
+    - attention q/out projections: shard the head (output / input) dim
+    - everything else replicated (conv kernels, norms, classifier)
+    """
+    if "model" not in mesh.axis_names:
+        return P()
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    nd = leaf.ndim
+    def spec_last(axis_from_end):
+        s = [None] * nd
+        s[nd - 1 - axis_from_end] = "model"
+        return P(*s)
+    if "ff1/in" in joined or "ff2/in" in joined:
+        return spec_last(0)      # (..., 2*d_ff) sharded
+    if "ff1/out" in joined or "ff2/out" in joined:
+        if joined.endswith("/w"):
+            return spec_last(1)  # (..., d_ff, d_model): shard d_ff
+        return P()
+    if "attn/q" in joined or "attn/out" in joined:
+        if joined.endswith("/w"):
+            if "attn/q" in joined:
+                return spec_last(0)   # output heads
+            return spec_last(1)       # input heads
+        if "attn/q" in joined:
+            return spec_last(0)
+        return P()
+    return P()
+
+
+def param_shardings(params, mesh):
+    """NamedShardings for the whole param pytree under the mesh's rules."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_param(path, leaf, mesh)),
+        params,
+    )

@@ -1,0 +1,339 @@
+"""Trainer: pjit-sharded CTC training loop.
+
+Capability parity with /root/reference/trainer/trainer.py:
+- CTC loss blank=0, zero_infinity, 'mean' semantics (:76,173)
+- gradient accumulation + global-norm clipping + per-optimizer-step
+  scheduler (:184-198) — via optax MultiSteps/chain inside one jitted step
+- NaN-loss batch skip (:179-181) — lax.cond skips the whole update
+- mixed precision — bf16 compute policy instead of CUDA AMP GradScaler
+- per-interval batch logs, per-epoch val loss/WER/CER + 2 example pairs
+  (:204-211, :263-281)
+- resumable checkpoints: epoch/global_step/model/opt/schedule/best_val_loss
+  + config snapshot; resume-latest-by-mtime (:84-145)
+
+TPU-first: one jitted train step consumes padded *waveform* batches —
+log-mel front-end, SpecAugment, Conformer forward, CTC loss, grads and the
+optimizer update all run on device in a single XLA program. Data
+parallelism: batch arrays sharded over the mesh "data" axis, params
+replicated (or tensor-sharded over "model"); XLA inserts the gradient
+all-reduce.
+"""
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turkish_asr_tpu.audio.features import log_mel_spectrogram
+from turkish_asr_tpu.audio.augment import spec_augment_batch
+from turkish_asr_tpu.models.conformer import apply_model
+from turkish_asr_tpu.ops.ctc import ctc_loss
+from turkish_asr_tpu.utils.metrics import ASRMetrics
+from turkish_asr_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicated_sharding, param_shardings)
+from turkish_asr_tpu.train.checkpoint import (
+    save_checkpoint_file, load_checkpoint_file, latest_checkpoint)
+
+
+def _batched_loss(params, model_state, feats, frame_lengths, batch, *,
+                  cfg, train, rng, compute_dtype, attn_kernel=None):
+    logits, new_state = apply_model(
+        params, model_state, feats, frame_lengths, cfg=cfg, train=train,
+        rng=rng, compute_dtype=compute_dtype, attn_kernel=attn_kernel)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ctc_lengths = frame_lengths // 4  # reference length contract
+    per_sample = ctc_loss(log_probs, batch["targets"], ctc_lengths,
+                          batch["target_lengths"], reduction="none")
+    per_sample = per_sample / jnp.maximum(batch["target_lengths"], 1)
+    mask = batch["sample_mask"]
+    loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return loss, (new_state, logits)
+
+
+class Trainer:
+    """Turkish ASR trainer over a device mesh."""
+
+    def __init__(
+        self,
+        model_cfg,
+        params,
+        model_state,
+        optimizer,
+        schedule,
+        config,
+        logger,
+        tokenizer=None,
+        train_loader=None,
+        valid_loader=None,
+        mesh=None,
+        gradient_clip=1.0,
+        accumulation_steps=1,
+        compute_dtype=jnp.bfloat16,
+        augment=False,
+        attn_kernel=None,
+    ):
+        self.cfg = model_cfg
+        self.params = params
+        self.model_state = model_state
+        self.tx = optimizer
+        self.schedule = schedule
+        self.config = config
+        self.logger = logger
+        self.tokenizer = tokenizer
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.mesh = mesh or make_mesh(getattr(config, "mesh_shape", None))
+        self.gradient_clip = gradient_clip
+        self.accumulation_steps = accumulation_steps
+        self.compute_dtype = compute_dtype
+        self.augment = augment
+        self.attn_kernel = attn_kernel
+
+        self.metrics = ASRMetrics(tokenizer) if tokenizer else None
+        if not tokenizer:
+            logger.warning("Tokenizer not provided! WER/CER calculation disabled.")
+
+        self.opt_state = self.tx.init(self.params)
+        self.start_epoch = 1
+        self.best_val_loss = float("inf")
+        self.global_step = 0
+        self._micro_step = 0
+
+        # Place params/opt state on the mesh.
+        p_shard = param_shardings(self.params, self.mesh)
+        self.params = jax.device_put(self.params, p_shard)
+        self.model_state = jax.device_put(
+            self.model_state, replicated_sharding(self.mesh))
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        cfg = self.cfg
+        tx = self.tx
+        augment = self.augment
+        compute_dtype = self.compute_dtype
+        attn_kernel = self.attn_kernel
+        spec_freq = getattr(self.config, "spec_augment_freq", 27)
+        spec_time = getattr(self.config, "spec_augment_time", 100)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, model_state, opt_state, batch, rng):
+            feats, frame_lengths = log_mel_spectrogram(
+                batch["waveforms"], batch["wav_lengths"], n_mels=cfg.n_mels)
+            rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+            if augment:
+                feats = spec_augment_batch(
+                    feats, aug_rng, frame_lengths,
+                    freq_mask_param=spec_freq, time_mask_param=spec_time)
+
+            (loss, (new_model_state, _)), grads = jax.value_and_grad(
+                _batched_loss, has_aux=True)(
+                params, model_state, feats, frame_lengths, batch,
+                cfg=cfg, train=True, rng=drop_rng,
+                compute_dtype=compute_dtype, attn_kernel=attn_kernel)
+
+            # NaN/Inf batch skip: no grads applied, no state advanced.
+            bad = ~jnp.isfinite(loss)
+
+            def skip(_):
+                return params, opt_state, model_state
+
+            def apply(_):
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return (jax.tree.map(lambda p, u: p + u, params, updates),
+                        new_opt, new_model_state)
+
+            new_params, new_opt_state, out_model_state = jax.lax.cond(
+                bad, skip, apply, None)
+            return new_params, out_model_state, new_opt_state, loss
+
+        return train_step
+
+    def _build_eval_step(self):
+        cfg = self.cfg
+        compute_dtype = self.compute_dtype
+        attn_kernel = self.attn_kernel
+
+        @jax.jit
+        def eval_step(params, model_state, batch):
+            feats, frame_lengths = log_mel_spectrogram(
+                batch["waveforms"], batch["wav_lengths"], n_mels=cfg.n_mels)
+            loss, (_, logits) = _batched_loss(
+                params, model_state, feats, frame_lengths, batch,
+                cfg=cfg, train=False, rng=None,
+                compute_dtype=compute_dtype, attn_kernel=attn_kernel)
+            return loss, logits, frame_lengths // 4
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference contract)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, epoch, name=None, is_best=False):
+        ckpt_dir = self.config.checkpoint_dir
+        os.makedirs(ckpt_dir, exist_ok=True)
+        meta = {
+            "epoch": int(epoch),
+            "global_step": int(self.global_step),
+            "best_val_loss": float(self.best_val_loss),
+            "config": {k: v for k, v in vars(self.config).items()
+                       if isinstance(v, (int, float, str, bool, type(None)))},
+            "model_config": {
+                "n_mels": self.cfg.n_mels, "d_model": self.cfg.d_model,
+                "n_heads": self.cfg.n_heads, "n_blocks": self.cfg.n_blocks,
+                "n_classes": self.cfg.n_classes, "dropout": self.cfg.dropout,
+            },
+        }
+        if name is None:
+            name = f"checkpoint_epoch_{epoch}.ckpt"
+        path = os.path.join(ckpt_dir, name)
+        save_checkpoint_file(path, meta, self.params, self.model_state,
+                             self.opt_state)
+        self.logger.info(f"Checkpoint saved: {path}")
+        if is_best:
+            best_path = os.path.join(ckpt_dir, "best_model.ckpt")
+            save_checkpoint_file(best_path, meta, self.params,
+                                 self.model_state, self.opt_state)
+            self.logger.info(f"Best model updated: {best_path}")
+
+    def load_checkpoint(self):
+        if not getattr(self.config, "resume", False):
+            return
+        path = latest_checkpoint(self.config.checkpoint_dir)
+        if path is None:
+            self.logger.warning("No checkpoint found! Starting from scratch.")
+            return
+        self.logger.info(f"Resuming from: {path}")
+        ckpt = load_checkpoint_file(path, opt_state_template=self.opt_state)
+        restored_params = jax.tree.map(jnp.asarray, ckpt["params"])
+        self.params = jax.device_put(
+            restored_params, param_shardings(restored_params, self.mesh))
+        self.model_state = jax.device_put(
+            jax.tree.map(jnp.asarray, ckpt["model_state"]),
+            replicated_sharding(self.mesh))
+        if "opt_state" in ckpt:
+            self.opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
+        meta = ckpt["meta"]
+        self.start_epoch = int(meta.get("epoch", 0)) + 1
+        self.global_step = int(meta.get("global_step", 0))
+        self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        self.logger.info(f"Loaded checkpoint. Resuming from Epoch {self.start_epoch}")
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch):
+        epoch_loss = 0.0
+        num_batches = 0
+        start_time = time.time()
+        rng = jax.random.PRNGKey(hash((self.config.seed, epoch)) % (2 ** 31))
+
+        for batch_idx, batch in enumerate(self.train_loader):
+            if batch is None:
+                continue
+            device_batch = shard_batch(self.mesh, batch)
+            rng, step_rng = jax.random.split(rng)
+            self.params, self.model_state, self.opt_state, loss = \
+                self._train_step(self.params, self.model_state,
+                                 self.opt_state, device_batch, step_rng)
+            loss_val = float(loss)
+            if not np.isfinite(loss_val):
+                self.logger.warning(
+                    f"Epoch {epoch}, Batch {batch_idx}: NaN loss, skipping...")
+                continue
+            self._micro_step += 1
+            if self._micro_step % self.accumulation_steps == 0:
+                self.global_step += 1
+            epoch_loss += loss_val
+            num_batches += 1
+            if (batch_idx + 1) % self.config.log_interval == 0:
+                current_lr = float(self.schedule(self.global_step))
+                self.logger.info(
+                    f"Epoch [{epoch}/{self.config.epochs}] "
+                    f"Batch [{batch_idx + 1}/{len(self.train_loader)}] "
+                    f"Loss: {loss_val:.4f} "
+                    f"LR: {current_lr:.2e}")
+
+        avg_loss = epoch_loss / max(num_batches, 1)
+        duration = time.time() - start_time
+        self.logger.info(
+            f"Epoch {epoch} Complete | Loss: {avg_loss:.4f} | Time: {duration:.1f}s")
+        return avg_loss
+
+    def validate(self, epoch):
+        if not self.valid_loader:
+            return None
+        val_loss = 0.0
+        total_wer = 0.0
+        total_cer = 0.0
+        num_batches = 0
+        example_preds, example_targets = [], []
+
+        for batch in self.valid_loader:
+            if batch is None:
+                continue
+            device_batch = shard_batch(self.mesh, batch)
+            loss, logits, out_lengths = self._eval_step(
+                self.params, self.model_state, device_batch)
+            val_loss += float(loss)
+            if self.metrics:
+                n_valid = int(batch["sample_mask"].sum())
+                result, preds, targs = self.metrics.compute(
+                    np.asarray(logits)[:n_valid],
+                    batch["targets"][:n_valid],
+                    np.asarray(out_lengths)[:n_valid])
+                total_wer += result["wer"]
+                total_cer += result["cer"]
+                if num_batches == 0:
+                    example_preds = preds[:2]
+                    example_targets = targs[:2]
+            num_batches += 1
+
+        avg_val_loss = val_loss / max(num_batches, 1)
+        avg_wer = total_wer / max(num_batches, 1)
+        avg_cer = total_cer / max(num_batches, 1)
+        self.logger.info(
+            f"Epoch {epoch} Validation | Loss: {avg_val_loss:.4f} | "
+            f"WER: {avg_wer:.2%} | CER: {avg_cer:.2%}")
+        if example_preds:
+            self.logger.info(f"  Pred: {example_preds[0]}")
+            self.logger.info(f"  True: {example_targets[0]}")
+        return avg_val_loss
+
+    def fit(self):
+        self.logger.info("=" * 60)
+        self.logger.info("Starting Training")
+        self.logger.info("=" * 60)
+        self.load_checkpoint()
+
+        if self.start_epoch > self.config.epochs:
+            self.logger.info("Training already completed.")
+            return
+
+        self.logger.info(f"Epochs: {self.start_epoch} -> {self.config.epochs}")
+        self.logger.info(f"Gradient Clipping: {self.gradient_clip}")
+        self.logger.info(f"Accumulation Steps: {self.accumulation_steps}")
+        self.logger.info(f"Mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
+        self.logger.info("=" * 60)
+
+        for epoch in range(self.start_epoch, self.config.epochs + 1):
+            self.train_epoch(epoch)
+            val_loss = self.validate(epoch)
+            if epoch % self.config.save_interval == 0:
+                self.save_checkpoint(epoch)
+            if val_loss is not None and val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                self.save_checkpoint(epoch, name="best_model.ckpt", is_best=True)
+
+        self.save_checkpoint(self.config.epochs,
+                             name=self.config.output_model_path)
+        self.logger.info("=" * 60)
+        self.logger.info("Training Complete!")
+        self.logger.info("=" * 60)
