@@ -32,6 +32,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def bench_tpu():
     import jax
     import jax.numpy as jnp
+    from turkish_asr_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     from turkish_asr_tpu.models.conformer import init_model, apply_model
     from turkish_asr_tpu.audio.features import log_mel_spectrogram
     from turkish_asr_tpu.decode.greedy import greedy_collapse_batch

@@ -1,0 +1,122 @@
+"""StableHLO export for the Turkish ASR model.
+
+The reference exports to ONNX via torch.onnx (/root/reference/
+export_onnx.py:16-121: rebuild model, load checkpoint, wrapper dropping the
+length mask, opset-14 export with dynamic batch/seq axes, checker verify,
+size report). The TPU-native deployment artifact is **StableHLO** via
+``jax.export``: dynamic batch and sequence dims as symbolic shapes, a
+numeric-parity verification against the live model, and a size report.
+
+CLI mirrors the reference's flags (--checkpoint --output --n_mel_channels
+--d_model --n_heads --n_blocks); ``--opset`` maps to the StableHLO
+serialization version.
+"""
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+from turkish_asr_tpu.models.conformer import ModelConfig, init_model, apply_model
+from turkish_asr_tpu.train.checkpoint import load_checkpoint_file
+
+
+def export_stablehlo(
+    checkpoint_path,
+    output_path,
+    n_mel_channels=80,
+    d_model=256,
+    n_heads=4,
+    n_blocks=8,
+    verify=True,
+):
+    """Export the model forward (features -> logits) to serialized StableHLO.
+
+    The exported function takes (B, T, n_mels) features with symbolic B/T —
+    like the reference's ONNXWrapper it omits the length mask (dense
+    attention over the provided frames).
+    """
+    print(f"Loading checkpoint: {checkpoint_path}")
+    ckpt = load_checkpoint_file(checkpoint_path)
+    meta = ckpt.get("meta", {}) or {}
+    mc = meta.get("model_config", {}) or {}
+    tokenizer = TurkishTokenizer()
+    cfg = ModelConfig(
+        n_mels=int(mc.get("n_mels", n_mel_channels)),
+        d_model=int(mc.get("d_model", d_model)),
+        n_heads=int(mc.get("n_heads", n_heads)),
+        n_blocks=int(mc.get("n_blocks", n_blocks)),
+        n_classes=int(mc.get("n_classes", tokenizer.vocab_size)),
+        dropout=0.0,
+    )
+    params = jax.tree.map(jnp.asarray, ckpt["params"])
+    model_state = ckpt.get("model_state") or {}
+    if model_state:
+        state = jax.tree.map(jnp.asarray, model_state)
+    else:
+        _, state = init_model(jax.random.PRNGKey(0), cfg)
+
+    def forward(feats):
+        logits, _ = apply_model(params, state, feats, None, cfg=cfg,
+                                train=False, compute_dtype=jnp.float32)
+        return logits
+
+    # Dynamic batch; time must stay a multiple of 4 so the two stride-2
+    # subsampling convs and the (C,F) flatten see consistent shapes.
+    scope = jax_export.SymbolicScope()
+    b = jax_export.symbolic_shape("b", scope=scope)[0]
+    t = jax_export.symbolic_shape("4*t", scope=scope)[0]
+    spec = jax.ShapeDtypeStruct((b, t, cfg.n_mels), jnp.float32)
+
+    print("Exporting to StableHLO (symbolic batch/time)...")
+    exported = jax_export.export(jax.jit(forward))(spec)
+    blob = exported.serialize()
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    print(f"Exported: {output_path}")
+
+    if verify:
+        print("Verifying numeric parity...")
+        rehydrated = jax_export.deserialize(blob)
+        x = np.random.default_rng(0).standard_normal((2, 200, cfg.n_mels)).astype(np.float32)
+        want = np.asarray(forward(jnp.asarray(x)))
+        got = np.asarray(rehydrated.call(jnp.asarray(x)))
+        err = float(np.max(np.abs(want - got)))
+        print(f"Max abs diff vs live model: {err:.3e}")
+        if err > 1e-4:
+            raise RuntimeError(f"Export verification failed: max diff {err}")
+        print("Verification passed.")
+
+    file_size = os.path.getsize(output_path) / (1024 * 1024)
+    print(f"Model size: {file_size:.2f} MB")
+    return output_path
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Export ASR model to StableHLO")
+    parser.add_argument("--checkpoint", type=str, required=True, help="Path to model checkpoint")
+    parser.add_argument("--output", type=str, default="model.stablehlo", help="Output path")
+    parser.add_argument("--n_mel_channels", type=int, default=80, help="Mel channels")
+    parser.add_argument("--d_model", type=int, default=256, help="Model dimension")
+    parser.add_argument("--n_heads", type=int, default=4, help="Attention heads")
+    parser.add_argument("--n_blocks", type=int, default=8, help="Conformer blocks")
+    parser.add_argument("--opset", type=int, default=None,
+                        help="Unused (ONNX-parity flag); StableHLO versioning is automatic")
+    args = parser.parse_args()
+
+    export_stablehlo(
+        checkpoint_path=args.checkpoint,
+        output_path=args.output,
+        n_mel_channels=args.n_mel_channels,
+        d_model=args.d_model,
+        n_heads=args.n_heads,
+        n_blocks=args.n_blocks,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,8 @@ class ASRInference:
         lm_path=None,
         compute_dtype=jnp.bfloat16,
     ):
+        from turkish_asr_tpu.utils.runtime import enable_compilation_cache
+        enable_compilation_cache()
         self.tokenizer = TurkishTokenizer()
 
         ckpt = load_checkpoint_file(model_path)

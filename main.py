@@ -37,6 +37,8 @@ def parse_buckets(spec):
 
 
 def main():
+    from turkish_asr_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     config = get_config()
     logger = get_logger(__name__)
 

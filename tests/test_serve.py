@@ -1,0 +1,174 @@
+"""Serving tests: service core + stdlib HTTP transport round-trip."""
+
+import json
+import os
+import sys
+import threading
+import urllib.request
+import uuid
+
+import numpy as np
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from turkish_asr_tpu.audio.wavio import write_wav
+from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+from turkish_asr_tpu.models.conformer import ModelConfig, init_model
+from turkish_asr_tpu.train.checkpoint import save_checkpoint_file
+from turkish_asr_tpu.serve.server import (
+    ServerConfig, ASRService, parse_multipart, run_stdlib_server)
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    meta = {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}
+    path = str(d / "model.ckpt")
+    save_checkpoint_file(path, meta, params, state)
+    return path
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    x = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    p = str(d / "a.wav")
+    write_wav(p, x, sr)
+    return p
+
+
+@pytest.fixture(scope="module")
+def service(tiny_ckpt, monkeypatch=None):
+    os.environ["ASR_MODEL_PATH"] = tiny_ckpt
+    svc = ASRService(ServerConfig(), warmup=False)
+    assert svc.asr is not None
+    return svc
+
+
+def test_health(service):
+    status, payload = service.health()
+    assert status == 200
+    assert payload["status"] == "healthy"
+    assert payload["model_loaded"] is True
+    assert payload["device"] in ("cpu", "tpu")
+
+
+def test_transcribe_upload(service, wav_file):
+    with open(wav_file, "rb") as f:
+        content = f.read()
+    status, payload = service.transcribe_upload("a.wav", content)
+    assert status == 200
+    assert "text" in payload and "duration_ms" in payload
+    assert payload["duration_ms"] > 0
+
+
+def test_bad_extension_rejected(service):
+    status, payload = service.transcribe_upload("evil.exe", b"xx")
+    assert status == 400
+    assert "Unsupported file type" in payload["detail"]
+
+
+def test_batch_captures_errors(service, wav_file):
+    with open(wav_file, "rb") as f:
+        good = f.read()
+    status, payload = service.transcribe_batch(
+        [("a.wav", good), ("bad.wav", b"not a wav")])
+    assert status == 200
+    results = payload["results"]
+    assert results[0]["error"] is None
+    assert results[1]["error"] is not None and results[1]["text"] == ""
+
+
+def test_model_missing_503(tmp_path):
+    os.environ["ASR_MODEL_PATH"] = str(tmp_path / "nope.ckpt")
+    svc = ASRService(ServerConfig(), warmup=False)
+    assert svc.asr is None
+    status, _ = svc.transcribe_upload("a.wav", b"")
+    assert status == 503
+    status, payload = svc.health()
+    assert status == 200 and payload["model_loaded"] is False
+
+
+def _multipart(filename, content):
+    boundary = uuid.uuid4().hex
+    body = (f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n").encode() + \
+        content + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_parse_multipart_roundtrip():
+    body, ctype = _multipart("x.wav", b"\x00\x01binary\xff")
+    uploads = parse_multipart(body, ctype)
+    assert uploads == [("x.wav", b"\x00\x01binary\xff")]
+
+
+def test_http_round_trip(service, wav_file):
+    import socketserver
+    from http.server import ThreadingHTTPServer
+
+    # run_stdlib_server blocks; build the handler inline on an OS port.
+    import turkish_asr_tpu.serve.server as srv_mod
+
+    holder = {}
+
+    def start():
+        # reuse internals: create the server but grab instance before serve
+        from http.server import BaseHTTPRequestHandler
+
+        class H(BaseHTTPRequestHandler):
+            def _send(self, status, payload):
+                blob = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+
+            def do_GET(self):
+                self._send(*service.health())
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                uploads = srv_mod.parse_multipart(body, self.headers.get("Content-Type"))
+                self._send(*service.transcribe_upload(*uploads[0]))
+
+            def log_message(self, *a):
+                pass
+
+        holder["server"] = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        holder["port"] = holder["server"].server_address[1]
+        holder["ready"].set()
+        holder["server"].serve_forever()
+
+    holder["ready"] = threading.Event()
+    t = threading.Thread(target=start, daemon=True)
+    t.start()
+    holder["ready"].wait(5)
+    port = holder["port"]
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+        payload = json.loads(r.read())
+    assert payload["model_loaded"] is True
+
+    with open(wav_file, "rb") as f:
+        body, ctype = _multipart("a.wav", f.read())
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/transcribe", data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req) as r:
+        payload = json.loads(r.read())
+    assert "text" in payload and payload["duration_ms"] > 0
+    holder["server"].shutdown()

@@ -36,8 +36,20 @@ def _rope_tables_np(seq_len, dim, base):
 
 
 def rope_cos_sin(seq_len, dim, base=10000.0, dtype=jnp.float32):
-    """Rotary cos/sin tables of shape (seq_len, dim)."""
-    cos, sin = _rope_tables_np(int(seq_len), int(dim), float(base))
+    """Rotary cos/sin tables of shape (seq_len, dim).
+
+    Concrete lengths use a host-precomputed fp64 table; symbolic lengths
+    (jax.export shape polymorphism) fall back to tracing the same math.
+    """
+    try:
+        t_static = int(seq_len)
+    except Exception:  # symbolic dimension under export
+        inv_freq = 1.0 / (base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+        t = jnp.arange(seq_len, dtype=jnp.float32)
+        freqs = t[:, None] * inv_freq[None, :]
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
+        return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    cos, sin = _rope_tables_np(t_static, int(dim), float(base))
     return jnp.asarray(cos, dtype), jnp.asarray(sin, dtype)
 
 

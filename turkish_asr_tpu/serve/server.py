@@ -1,0 +1,244 @@
+"""HTTP serving for the Turkish ASR model.
+
+API parity with the reference FastAPI app (/root/reference/serve/api.py):
+- env-var config: ASR_MODEL_PATH, N_MEL_CHANNELS, D_MODEL, N_HEADS,
+  N_BLOCKS, USE_BEAM_SEARCH, BEAM_WIDTH (:25-33)
+- GET  /health            -> {status, model_loaded, device}
+- POST /transcribe        -> {text, duration_ms}; 400 on bad extension,
+  503 when model missing, 500 on transcription error (:106-152)
+- POST /transcribe/batch  -> {results: [{filename, text, error}]} (:155-186)
+
+Transport: FastAPI+uvicorn when installed; otherwise a dependency-free
+stdlib ThreadingHTTPServer speaking the same routes/payloads (this image
+has neither fastapi nor uvicorn). The model is warmed at startup with one
+dummy transcription so the first request doesn't pay XLA compile time.
+"""
+
+import io
+import json
+import os
+import re
+import tempfile
+import time
+
+ALLOWED_EXTENSIONS = {".wav", ".mp3", ".flac", ".ogg", ".m4a"}
+
+
+class ServerConfig:
+    """Env-var server configuration (reference names/defaults)."""
+
+    def __init__(self):
+        self.MODEL_PATH = os.environ.get("ASR_MODEL_PATH", "./runs/best_model.ckpt")
+        self.N_MEL_CHANNELS = int(os.environ.get("N_MEL_CHANNELS", "80"))
+        self.D_MODEL = int(os.environ.get("D_MODEL", "256"))
+        self.N_HEADS = int(os.environ.get("N_HEADS", "4"))
+        self.N_BLOCKS = int(os.environ.get("N_BLOCKS", "8"))
+        self.USE_BEAM_SEARCH = os.environ.get("USE_BEAM_SEARCH", "false").lower() == "true"
+        self.BEAM_WIDTH = int(os.environ.get("BEAM_WIDTH", "10"))
+        self.HOST = os.environ.get("ASR_HOST", "0.0.0.0")
+        self.PORT = int(os.environ.get("ASR_PORT", "8000"))
+
+
+class ASRService:
+    """Transport-independent service core shared by both servers."""
+
+    def __init__(self, config=None, warmup=True):
+        self.config = config or ServerConfig()
+        self.asr = None
+        if os.path.exists(self.config.MODEL_PATH):
+            try:
+                from inference import ASRInference
+                self.asr = ASRInference(
+                    model_path=self.config.MODEL_PATH,
+                    n_mel_channels=self.config.N_MEL_CHANNELS,
+                    d_model=self.config.D_MODEL,
+                    n_heads=self.config.N_HEADS,
+                    n_blocks=self.config.N_BLOCKS,
+                    use_beam_search=self.config.USE_BEAM_SEARCH,
+                    beam_width=self.config.BEAM_WIDTH,
+                )
+                print("Model loaded successfully!")
+                if warmup:
+                    self._warmup()
+            except Exception as e:  # noqa: BLE001 — serve anyway (reference)
+                print(f"Failed to load model: {e}")
+        else:
+            print(f"Warning: Model not found at {self.config.MODEL_PATH}")
+
+    def _warmup(self):
+        """One dummy transcription so request #1 skips XLA compilation."""
+        import numpy as np
+        from turkish_asr_tpu.audio.wavio import write_wav
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+            write_wav(tmp.name, np.zeros(16000, dtype=np.float32), 16000)
+            path = tmp.name
+        try:
+            self.asr.transcribe(path)
+            print("Warmup complete.")
+        finally:
+            os.unlink(path)
+
+    # -- handlers returning (status_code, payload dict) --------------------
+    def health(self):
+        device = "N/A"
+        if self.asr is not None:
+            import jax
+            device = jax.devices()[0].platform
+        return 200, {"status": "healthy",
+                     "model_loaded": self.asr is not None,
+                     "device": device}
+
+    def transcribe_upload(self, filename, content):
+        if self.asr is None:
+            return 503, {"detail": "Model not loaded"}
+        ext = os.path.splitext(filename or "")[1].lower()
+        if ext not in ALLOWED_EXTENSIONS:
+            return 400, {"detail": f"Unsupported file type. Allowed: {ALLOWED_EXTENSIONS}"}
+        try:
+            with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tmp:
+                tmp.write(content)
+                tmp_path = tmp.name
+        except Exception as e:  # noqa: BLE001
+            return 500, {"detail": f"Failed to save file: {e}"}
+        try:
+            start = time.time()
+            text = self.asr.transcribe(tmp_path)
+            duration_ms = (time.time() - start) * 1000
+            return 200, {"text": text, "duration_ms": duration_ms}
+        except Exception as e:  # noqa: BLE001
+            return 500, {"detail": f"Transcription failed: {e}"}
+        finally:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
+
+    def transcribe_batch(self, uploads):
+        if self.asr is None:
+            return 503, {"detail": "Model not loaded"}
+        results = []
+        for filename, content in uploads:
+            try:
+                ext = os.path.splitext(filename or "")[1].lower() or ".wav"
+                with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tmp:
+                    tmp.write(content)
+                    tmp_path = tmp.name
+                text = self.asr.transcribe(tmp_path)
+                results.append({"filename": filename, "text": text, "error": None})
+                os.unlink(tmp_path)
+            except Exception as e:  # noqa: BLE001
+                results.append({"filename": filename, "text": "", "error": str(e)})
+        return 200, {"results": results}
+
+
+# ---------------------------------------------------------------------------
+# Multipart parsing (stdlib-only)
+# ---------------------------------------------------------------------------
+
+def parse_multipart(body, content_type):
+    """Minimal multipart/form-data parser -> [(filename, bytes), ...]."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type or "")
+    if not m:
+        return []
+    boundary = m.group(1).encode()
+    parts = body.split(b"--" + boundary)
+    uploads = []
+    for part in parts:
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        header_blob, content = part.split(b"\r\n\r\n", 1)
+        headers = header_blob.decode("utf-8", errors="replace")
+        fm = re.search(r'filename="([^"]*)"', headers)
+        if fm is None:
+            continue
+        uploads.append((fm.group(1), content))
+    return uploads
+
+
+# ---------------------------------------------------------------------------
+# Transports
+# ---------------------------------------------------------------------------
+
+def build_fastapi_app(service):
+    """FastAPI app with the reference's exact endpoint surface."""
+    from fastapi import FastAPI, File, UploadFile, HTTPException
+
+    app = FastAPI(title="Turkish ASR API",
+                  description="Automatic Speech Recognition API for Turkish language (TPU)",
+                  version="1.0.0")
+
+    @app.get("/health")
+    async def health_check():
+        _, payload = service.health()
+        return payload
+
+    @app.post("/transcribe")
+    async def transcribe_audio(file: UploadFile = File(...)):
+        content = await file.read()
+        status, payload = service.transcribe_upload(file.filename, content)
+        if status != 200:
+            raise HTTPException(status_code=status, detail=payload["detail"])
+        return payload
+
+    @app.post("/transcribe/batch")
+    async def transcribe_batch(files: list = File(...)):
+        uploads = [(f.filename, await f.read()) for f in files]
+        status, payload = service.transcribe_batch(uploads)
+        if status != 200:
+            raise HTTPException(status_code=status, detail=payload["detail"])
+        return payload
+
+    return app
+
+
+def run_stdlib_server(service, host, port):
+    """Dependency-free HTTP server speaking the same routes."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, status, payload):
+            blob = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(*service.health())
+            else:
+                self._send(404, {"detail": "Not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            uploads = parse_multipart(body, self.headers.get("Content-Type"))
+            if self.path == "/transcribe":
+                if not uploads:
+                    self._send(400, {"detail": "No file uploaded"})
+                    return
+                self._send(*service.transcribe_upload(*uploads[0]))
+            elif self.path == "/transcribe/batch":
+                self._send(*service.transcribe_batch(uploads))
+            else:
+                self._send(404, {"detail": "Not found"})
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"Serving (stdlib HTTP) on {host}:{port}")
+    server.serve_forever()
+
+
+def run_server(config=None):
+    config = config or ServerConfig()
+    service = ASRService(config)
+    try:
+        import uvicorn
+        app = build_fastapi_app(service)
+        uvicorn.run(app, host=config.HOST, port=config.PORT)
+    except ImportError:
+        run_stdlib_server(service, config.HOST, config.PORT)
