@@ -50,6 +50,7 @@ class ASRInference:
         beam_width=10,
         lm_path=None,
         compute_dtype=jnp.bfloat16,
+        use_pallas=True,
     ):
         from turkish_asr_tpu.utils.runtime import enable_compilation_cache
         enable_compilation_cache()
@@ -78,6 +79,10 @@ class ASRInference:
         self.compute_dtype = compute_dtype
 
         cfg = self.cfg
+        attn_kernel = None
+        if use_pallas:
+            from turkish_asr_tpu.ops.flash_attention import make_flash_attention
+            attn_kernel = make_flash_attention()
 
         @jax.jit
         def forward(params, model_state, waveform, length):
@@ -85,7 +90,8 @@ class ASRInference:
                 waveform[None, :], length[None], n_mels=cfg.n_mels)
             logits, _ = apply_model(params, model_state, feats, frame_lengths,
                                     cfg=cfg, train=False,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    attn_kernel=attn_kernel)
             return logits[0], frame_lengths[0] // 4
 
         self._forward = forward

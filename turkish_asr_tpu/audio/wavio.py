@@ -30,6 +30,9 @@ TARGET_SAMPLE_RATE = 16000
 def read_wav(path):
     """Decode a RIFF/WAVE file.
 
+    Uses the native C++ decoder (turkish_asr_tpu/native) when available,
+    with this numpy implementation as the always-available fallback/oracle.
+
     Returns:
         (waveform, sample_rate): float32 array of shape (channels, samples)
         scaled to [-1, 1], and the file's sample rate.
@@ -39,6 +42,14 @@ def read_wav(path):
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"Not a RIFF/WAVE file: {path}")
+
+    try:
+        from turkish_asr_tpu.native.loader import wav_decode_native
+        native = wav_decode_native(data)
+        if native is not None:
+            return native
+    except ValueError:
+        pass  # unsupported-by-native format: fall through to numpy
 
     pos = 12
     fmt = None
@@ -148,6 +159,13 @@ def resample(waveform, orig_freq, new_freq, lowpass_filter_width=6, rolloff=0.99
         x = x[None, :]
     if orig_freq == new_freq:
         return x[0] if squeeze else x
+
+    if x.shape[0] == 1:
+        from turkish_asr_tpu.native.loader import resample_native
+        native = resample_native(x[0], orig_freq, new_freq,
+                                 lowpass_filter_width, rolloff)
+        if native is not None:
+            return native if squeeze else native[None, :]
 
     g = math.gcd(int(orig_freq), int(new_freq))
     o, n = int(orig_freq) // g, int(new_freq) // g

@@ -134,10 +134,13 @@ def mqa_attention(
     k = k.transpose(0, 2, 1, 3)  # (B, Kh, T, Dh)
     v = v.transpose(0, 2, 1, 3)
 
+    context = None
     if kernel is not None:
+        # A kernel may decline (return None) for shapes where the fallback
+        # is faster — e.g. short sequences vs the Pallas flash kernel.
         context = kernel(q.astype(compute_dtype), k.astype(compute_dtype),
                          v.astype(compute_dtype), mask)
-    else:
+    if context is None:
         scale = 1.0 / math.sqrt(d_head)
         # Broadcast the shared KV head instead of expanding it.
         if use_mqa and n_heads > 1:

@@ -13,12 +13,31 @@ import numpy as np
 
 
 def _edit_distance(ref, hyp):
-    """Levenshtein distance between two sequences (two-row DP)."""
+    """Levenshtein distance between two sequences (two-row DP).
+
+    Uses the native C++ kernel when available (tokens are interned to
+    int32 ids first); pure-Python fallback below."""
     n, m = len(ref), len(hyp)
     if n == 0:
         return m
     if m == 0:
         return n
+    try:
+        from turkish_asr_tpu.native.loader import levenshtein_native, native_available
+        if native_available():
+            interned = {}
+            def ids(seq):
+                out = []
+                for tok in seq:
+                    if tok not in interned:
+                        interned[tok] = len(interned)
+                    out.append(interned[tok])
+                return out
+            d = levenshtein_native(ids(ref), ids(hyp))
+            if d is not None:
+                return d
+    except Exception:  # noqa: BLE001 — fall back to Python
+        pass
     prev = list(range(m + 1))
     for i in range(1, n + 1):
         curr = [i] + [0] * m
