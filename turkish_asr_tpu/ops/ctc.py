@@ -67,8 +67,13 @@ def ctc_loss(
     ext_shift2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank_id)[:, :S]
     allow_skip = (pos % 2 == 1) & (ext != ext_shift2)
 
-    lp0 = log_probs[:, 0, :]
-    emit0 = jnp.take_along_axis(lp0, ext, axis=1)  # (B, S)
+    # Pre-gather all emissions in one vectorized gather (B, T, S); the scan
+    # body is then pure arithmetic — no per-step gathers, and the backward
+    # pass accumulates into one dense scatter.
+    emit_all = jnp.take_along_axis(
+        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, S)), axis=2)
+
+    emit0 = emit_all[:, 0]
     alpha0 = jnp.where(pos == 0, emit0, NEG_INF)
     alpha0 = jnp.where((pos == 1) & (target_lengths[:, None] > 0), emit0, alpha0)
 
@@ -79,43 +84,28 @@ def ctc_loss(
         mx = jnp.maximum(a, b)
         return mx + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
 
-    def step(carry, t):
-        alpha, final_ll = carry
-        lp_t = jax.lax.dynamic_slice_in_dim(log_probs, t, 1, axis=1)[:, 0, :]
-        emit = jnp.take_along_axis(lp_t, ext, axis=1)
-
-        a_prev = alpha
+    def step(alpha, xs):
+        emit, t = xs  # (B, S), scalar
         a_m1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG_INF)[:, :S]
         a_m2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG_INF)[:, :S]
-        acc = logaddexp(a_prev, a_m1)
+        acc = logaddexp(alpha, a_m1)
         acc = jnp.where(allow_skip, logaddexp(acc, a_m2), acc)
         new_alpha = acc + emit
-        # Before a sample's first frame is irrelevant (t starts at 1); past its
-        # last frame, freeze alpha so autodiff doesn't touch padded frames.
+        # Past a sample's last frame, freeze alpha: after the scan it holds
+        # the value at t = input_length - 1 for every sample, and autodiff
+        # never touches padded frames.
         active = (t < input_lengths)[:, None]
-        new_alpha = jnp.where(active, new_alpha, alpha)
+        return jnp.where(active, new_alpha, alpha), None
 
-        at_end = t == (input_lengths - 1)
-        ll = logaddexp(
-            jnp.take_along_axis(new_alpha, final_pos_hi[:, None], axis=1)[:, 0],
-            jnp.take_along_axis(new_alpha, final_pos_lo[:, None], axis=1)[:, 0],
-        )
-        # Empty-target edge: only the all-blank path at position 0 counts.
-        ll_empty = jnp.take_along_axis(new_alpha, jnp.zeros((B, 1), jnp.int32), axis=1)[:, 0]
-        ll = jnp.where(target_lengths > 0, ll, ll_empty)
-        final_ll = jnp.where(at_end, ll, final_ll)
-        return (new_alpha, final_ll), None
+    xs = (emit_all[:, 1:].transpose(1, 0, 2), jnp.arange(1, T))
+    alpha, _ = jax.lax.scan(step, alpha0, xs)
 
-    # Handle length-1 inputs: final may be at t=0.
-    ll0 = logaddexp(
-        jnp.take_along_axis(alpha0, final_pos_hi[:, None], axis=1)[:, 0],
-        jnp.take_along_axis(alpha0, final_pos_lo[:, None], axis=1)[:, 0],
+    final_ll = logaddexp(
+        jnp.take_along_axis(alpha, final_pos_hi[:, None], axis=1)[:, 0],
+        jnp.take_along_axis(alpha, final_pos_lo[:, None], axis=1)[:, 0],
     )
-    ll0_empty = alpha0[:, 0]
-    ll0 = jnp.where(target_lengths > 0, ll0, ll0_empty)
-    final_init = jnp.where(input_lengths == 1, ll0, jnp.full((B,), NEG_INF))
-
-    (_, final_ll), _ = jax.lax.scan(step, (alpha0, final_init), jnp.arange(1, T))
+    # Empty-target edge: only the all-blank path at position 0 counts.
+    final_ll = jnp.where(target_lengths > 0, final_ll, alpha[:, 0])
 
     loss = -final_ll
     if zero_infinity:

@@ -235,6 +235,14 @@ class Trainer:
         start_time = time.time()
         rng = jax.random.PRNGKey(hash((self.config.seed, epoch)) % (2 ** 31))
 
+        # jax.profiler trace of the first steps (reference has no profiler;
+        # SURVEY.md §5 — tracing is a TPU-build addition).
+        profile_dir = getattr(self.config, "profile_dir", None)
+        profiling = bool(profile_dir) and epoch == self.start_epoch
+        if profiling:
+            from turkish_asr_tpu.utils.runtime import start_profiler_trace
+            start_profiler_trace(profile_dir)
+
         for batch_idx, batch in enumerate(self.train_loader):
             if batch is None:
                 continue
@@ -253,6 +261,11 @@ class Trainer:
                 self.global_step += 1
             epoch_loss += loss_val
             num_batches += 1
+            if profiling and num_batches == 20:
+                from turkish_asr_tpu.utils.runtime import stop_profiler_trace
+                stop_profiler_trace(profile_dir)
+                profiling = False
+                self.logger.info(f"Profiler trace written to {profile_dir}")
             if (batch_idx + 1) % self.config.log_interval == 0:
                 current_lr = float(self.schedule(self.global_step))
                 self.logger.info(
@@ -260,6 +273,10 @@ class Trainer:
                     f"Batch [{batch_idx + 1}/{len(self.train_loader)}] "
                     f"Loss: {loss_val:.4f} "
                     f"LR: {current_lr:.2e}")
+
+        if profiling:
+            from turkish_asr_tpu.utils.runtime import stop_profiler_trace
+            stop_profiler_trace(profile_dir)
 
         avg_loss = epoch_loss / max(num_batches, 1)
         duration = time.time() - start_time
