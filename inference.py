@@ -107,8 +107,7 @@ class ASRInference:
         self.greedy = GreedyDecoder(self.tokenizer)
         print(f"ASR ready on {jax.devices()[0].platform}")
 
-    def _logits(self, audio_path):
-        waveform, _ = load_audio(audio_path)
+    def _forward_padded(self, waveform):
         n = waveform.shape[0]
         S = bucket_table(n, DEFAULT_WAVEFORM_BUCKETS)
         padded = np.zeros((S,), dtype=np.float32)
@@ -118,10 +117,39 @@ class ASRInference:
             jnp.asarray(min(n, S), dtype=jnp.int32))
         return np.asarray(logits), int(out_len)
 
+    def _logits(self, audio_path, chunk_seconds=28.0, overlap_seconds=2.0):
+        """Model logits for a file; audio longer than the largest bucket is
+        transcribed in overlapping chunks whose trimmed logits are
+        concatenated (additive capability — the reference truncates nothing
+        but also has no long-form story; SURVEY.md §5)."""
+        waveform, sr = load_audio(audio_path)
+        n = waveform.shape[0]
+        max_bucket = DEFAULT_WAVEFORM_BUCKETS[-1]
+        if n <= max_bucket:
+            logits, out_len = self._forward_padded(waveform)
+            return logits[:out_len], out_len
+
+        chunk = int(chunk_seconds * sr)
+        overlap = int(overlap_seconds * sr)
+        step = chunk - overlap
+        # post-subsample frame rate: hop 160 then //4 -> 640 samples/frame
+        margin_frames = overlap // (160 * 4) // 2
+        pieces = []
+        start = 0
+        while start < n:
+            seg = waveform[start:start + chunk]
+            logits, out_len = self._forward_padded(seg)
+            logits = logits[:out_len]
+            lo = margin_frames if start > 0 else 0
+            hi = out_len - margin_frames if start + chunk < n else out_len
+            pieces.append(logits[lo:hi])
+            start += step
+        merged = np.concatenate(pieces, axis=0)
+        return merged, merged.shape[0]
+
     def transcribe(self, audio_path):
         """Transcribe a single audio file -> text."""
         logits, out_len = self._logits(audio_path)
-        logits = logits[:out_len]
         if self.use_beam_search and self.decoder:
             return self.decoder.decode(logits)
         pred_ids = np.argmax(logits, axis=-1).tolist()

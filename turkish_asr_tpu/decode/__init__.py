@@ -1,7 +1,7 @@
 from turkish_asr_tpu.decode.greedy import GreedyDecoder, greedy_collapse_batch
 from turkish_asr_tpu.decode.beam import CTCBeamDecoder, beam_search_batch
 from turkish_asr_tpu.decode.lm import KenLMModel, NGramLanguageModel, ArpaLanguageModel
-from turkish_asr_tpu.decode.factory import create_decoder
+from turkish_asr_tpu.decode.factory import create_decoder, FlashlightDecoder
 
 # Legacy aliases matching the reference export surface
 # (/root/reference/utils/decoding.py:447-449).
@@ -16,5 +16,6 @@ __all__ = [
     "NGramLanguageModel",
     "ArpaLanguageModel",
     "create_decoder",
+    "FlashlightDecoder",
     "CTCDecoder",
 ]

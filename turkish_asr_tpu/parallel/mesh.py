@@ -65,6 +65,32 @@ def shard_batch(mesh, batch):
     }
 
 
+def activation_constraint(mesh):
+    """Sharding-constraint fn for (B, T, D) activations, or None.
+
+    Shards batch over "data" and, when a "seq" axis exists, time over
+    "seq" — sequence/context parallelism for long-form audio. XLA inserts
+    the halo exchanges for the depthwise time-convs and the K/V
+    all-gathers for attention (cheap under MQA: one shared KV head).
+    The reference has no long-form or multi-device story (SURVEY.md §5).
+    """
+    names = mesh.axis_names
+    if "seq" in names:
+        spec = P("data" if "data" in names else None, "seq", None)
+    elif "data" in names:
+        spec = P("data", None, None)
+    else:
+        return None
+    sharding = NamedSharding(mesh, spec)
+
+    def constrain(x):
+        if x.ndim == 3:
+            return jax.lax.with_sharding_constraint(x, sharding)
+        return x
+
+    return constrain
+
+
 def _spec_for_param(path, leaf, mesh):
     """Tensor-parallel layout rules (active only when a "model" axis exists).
 

@@ -33,16 +33,19 @@ from turkish_asr_tpu.models.conformer import apply_model
 from turkish_asr_tpu.ops.ctc import ctc_loss
 from turkish_asr_tpu.utils.metrics import ASRMetrics
 from turkish_asr_tpu.parallel.mesh import (
-    make_mesh, shard_batch, replicated_sharding, param_shardings)
+    make_mesh, shard_batch, replicated_sharding, param_shardings,
+    activation_constraint)
 from turkish_asr_tpu.train.checkpoint import (
     save_checkpoint_file, load_checkpoint_file, latest_checkpoint)
 
 
 def _batched_loss(params, model_state, feats, frame_lengths, batch, *,
-                  cfg, train, rng, compute_dtype, attn_kernel=None):
+                  cfg, train, rng, compute_dtype, attn_kernel=None,
+                  act_constraint=None):
     logits, new_state = apply_model(
         params, model_state, feats, frame_lengths, cfg=cfg, train=train,
-        rng=rng, compute_dtype=compute_dtype, attn_kernel=attn_kernel)
+        rng=rng, compute_dtype=compute_dtype, attn_kernel=attn_kernel,
+        act_constraint=act_constraint)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ctc_lengths = frame_lengths // 4  # reference length contract
     per_sample = ctc_loss(log_probs, batch["targets"], ctc_lengths,
@@ -120,6 +123,7 @@ class Trainer:
         augment = self.augment
         compute_dtype = self.compute_dtype
         attn_kernel = self.attn_kernel
+        act_constraint = activation_constraint(self.mesh)
         spec_freq = getattr(self.config, "spec_augment_freq", 27)
         spec_time = getattr(self.config, "spec_augment_time", 100)
 
@@ -137,7 +141,8 @@ class Trainer:
                 _batched_loss, has_aux=True)(
                 params, model_state, feats, frame_lengths, batch,
                 cfg=cfg, train=True, rng=drop_rng,
-                compute_dtype=compute_dtype, attn_kernel=attn_kernel)
+                compute_dtype=compute_dtype, attn_kernel=attn_kernel,
+                act_constraint=act_constraint)
 
             # NaN/Inf batch skip: no grads applied, no state advanced.
             bad = ~jnp.isfinite(loss)
@@ -160,6 +165,7 @@ class Trainer:
         cfg = self.cfg
         compute_dtype = self.compute_dtype
         attn_kernel = self.attn_kernel
+        act_constraint = activation_constraint(self.mesh)
 
         @jax.jit
         def eval_step(params, model_state, batch):
@@ -168,7 +174,8 @@ class Trainer:
             loss, (_, logits) = _batched_loss(
                 params, model_state, feats, frame_lengths, batch,
                 cfg=cfg, train=False, rng=None,
-                compute_dtype=compute_dtype, attn_kernel=attn_kernel)
+                compute_dtype=compute_dtype, attn_kernel=attn_kernel,
+                act_constraint=act_constraint)
             return loss, logits, frame_lengths // 4
 
         return eval_step
