@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from turkish_asr_tpu.audio.features import log_mel_spectrogram
 from turkish_asr_tpu.audio.wavio import load_audio
-from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
 from turkish_asr_tpu.data.dataset import bucket_table, DEFAULT_WAVEFORM_BUCKETS
 from turkish_asr_tpu.models.conformer import ModelConfig, init_model, apply_model
 from turkish_asr_tpu.decode.greedy import GreedyDecoder
@@ -51,31 +50,40 @@ class ASRInference:
         lm_path=None,
         compute_dtype=jnp.bfloat16,
         use_pallas=True,
+        tokenizer_path=None,
     ):
         from turkish_asr_tpu.utils.runtime import enable_compilation_cache
+        from turkish_asr_tpu.data.tokenizer import load_tokenizer
         enable_compilation_cache()
-        self.tokenizer = TurkishTokenizer()
+        self.tokenizer = load_tokenizer(tokenizer_path)
 
-        ckpt = load_checkpoint_file(model_path)
-        meta = ckpt.get("meta", {}) or {}
-        mc = meta.get("model_config", {}) or {}
-        self.cfg = ModelConfig(
-            n_mels=int(mc.get("n_mels", n_mel_channels)),
-            d_model=int(mc.get("d_model", d_model)),
-            n_heads=int(mc.get("n_heads", n_heads)),
-            n_blocks=int(mc.get("n_blocks", n_blocks)),
-            n_classes=int(mc.get("n_classes", self.tokenizer.vocab_size)),
-            dropout=0.0,
-        )
-        params = ckpt.get("params") or {}
-        if not params:
-            raise ValueError(f"No params found in checkpoint: {model_path}")
-        self.params = jax.tree.map(jnp.asarray, params)
-        model_state = ckpt.get("model_state") or {}
-        if model_state:
-            self.model_state = jax.tree.map(jnp.asarray, model_state)
+        if model_path.endswith(".pt") or model_path.endswith(".pth"):
+            # Reference PyTorch checkpoint: weight-level import
+            # (utils/torch_import.py) — reference-trained models run as-is.
+            from turkish_asr_tpu.utils.torch_import import load_torch_checkpoint
+            self.cfg, self.params, self.model_state = load_torch_checkpoint(
+                model_path, n_heads=n_heads)
         else:
-            _, self.model_state = init_model(jax.random.PRNGKey(0), self.cfg)
+            ckpt = load_checkpoint_file(model_path)
+            meta = ckpt.get("meta", {}) or {}
+            mc = meta.get("model_config", {}) or {}
+            self.cfg = ModelConfig(
+                n_mels=int(mc.get("n_mels", n_mel_channels)),
+                d_model=int(mc.get("d_model", d_model)),
+                n_heads=int(mc.get("n_heads", n_heads)),
+                n_blocks=int(mc.get("n_blocks", n_blocks)),
+                n_classes=int(mc.get("n_classes", self.tokenizer.vocab_size)),
+                dropout=0.0,
+            )
+            params = ckpt.get("params") or {}
+            if not params:
+                raise ValueError(f"No params found in checkpoint: {model_path}")
+            self.params = jax.tree.map(jnp.asarray, params)
+            model_state = ckpt.get("model_state") or {}
+            if model_state:
+                self.model_state = jax.tree.map(jnp.asarray, model_state)
+            else:
+                _, self.model_state = init_model(jax.random.PRNGKey(0), self.cfg)
         self.compute_dtype = compute_dtype
 
         cfg = self.cfg
@@ -95,6 +103,18 @@ class ASRInference:
             return logits[0], frame_lengths[0] // 4
 
         self._forward = forward
+
+        @jax.jit
+        def forward_batch(params, model_state, waveforms, lengths):
+            feats, frame_lengths = log_mel_spectrogram(
+                waveforms, lengths, n_mels=cfg.n_mels)
+            logits, _ = apply_model(params, model_state, feats, frame_lengths,
+                                    cfg=cfg, train=False,
+                                    compute_dtype=compute_dtype,
+                                    attn_kernel=attn_kernel)
+            return logits, frame_lengths // 4
+
+        self._forward_batch = forward_batch
 
         self.use_beam_search = use_beam_search
         if use_beam_search:
@@ -156,7 +176,8 @@ class ASRInference:
         return self.tokenizer.ctc_decode(pred_ids)
 
     def transcribe_batch(self, audio_paths):
-        """Transcribe multiple files; errors yield "" (reference contract)."""
+        """Transcribe multiple files; errors yield "" (reference contract,
+        sequential like inference.py:130-148)."""
         results = []
         for path in audio_paths:
             try:
@@ -165,6 +186,68 @@ class ASRInference:
                 print(f"Error processing {path}: {e}")
                 results.append("")
         return results
+
+    def transcribe_files(self, audio_paths, batch_size=16):
+        """True batched transcription: files are length-sorted, collated
+        into padded bucket batches, and decoded with ONE forward + one
+        on-device greedy collapse per batch (the reference loops files
+        one-by-one). Errors yield "" per file.
+        """
+        from turkish_asr_tpu.decode.greedy import GreedyDecoder
+        greedy = GreedyDecoder(self.tokenizer)
+        waveforms = {}
+        for p in audio_paths:
+            try:
+                w, _ = load_audio(p)
+                if w.shape[0] > DEFAULT_WAVEFORM_BUCKETS[-1]:
+                    waveforms[p] = None  # long-form: fall back per-file
+                else:
+                    waveforms[p] = w
+            except Exception as e:  # noqa: BLE001
+                print(f"Error processing {p}: {e}")
+                waveforms[p] = False  # decode error
+
+        # Group by bucket so each file sees the same padded length as the
+        # per-file path would give it: GroupNorm statistics span padded
+        # frames (preserved reference quirk 3, SURVEY.md §2), so the padded
+        # length is part of the numerics — bucket grouping keeps batched
+        # output identical to sequential output.
+        results = {}
+        by_bucket = {}
+        for p, w in waveforms.items():
+            if w is None or w is False:
+                continue
+            S = bucket_table(w.shape[0], DEFAULT_WAVEFORM_BUCKETS)
+            by_bucket.setdefault(S, []).append(p)
+        for S, group_paths in sorted(by_bucket.items()):
+            for i in range(0, len(group_paths), batch_size):
+                group = group_paths[i:i + batch_size]
+                B = batch_size
+                wav = np.zeros((B, S), dtype=np.float32)
+                lens = np.full((B,), 1, dtype=np.int32)
+                for j, p in enumerate(group):
+                    w = waveforms[p]
+                    wav[j, :w.shape[0]] = w
+                    lens[j] = w.shape[0]
+                logits, out_lens = self._forward_batch(
+                    self.params, self.model_state, jnp.asarray(wav),
+                    jnp.asarray(lens))
+                texts = greedy.decode_batch(logits, out_lens)
+                for j, p in enumerate(group):
+                    results[p] = texts[j]
+
+        out = []
+        for p in audio_paths:
+            if waveforms[p] is False:
+                out.append("")
+            elif waveforms[p] is None:
+                try:
+                    out.append(self.transcribe(p))
+                except Exception:  # noqa: BLE001
+                    out.append("")
+            else:
+                out.append(results[p])
+        return out
 
 
 def main():
@@ -179,6 +262,8 @@ def main():
     parser.add_argument("--n_blocks", type=int, default=8, help="Conformer blocks")
     parser.add_argument("--lm", type=str, default=None,
                         help="KenLM/ARPA language model for beam-search fusion")
+    parser.add_argument("--tokenizer_path", type=str, default=None,
+                        help="Tokenizer: .json BPE vocab or HF model name")
     args = parser.parse_args()
 
     asr = ASRInference(
@@ -190,14 +275,20 @@ def main():
         use_beam_search=args.beam_search,
         beam_width=args.beam_width,
         lm_path=args.lm,
+        tokenizer_path=args.tokenizer_path,
     )
 
     audio_path = Path(args.audio)
     if audio_path.is_dir():
         audio_files = sorted(audio_path.glob("*.wav"))
         print(f"Found {len(audio_files)} audio files")
-        for f in audio_files:
-            print(f"{f.name}: {asr.transcribe(str(f))}")
+        if args.beam_search:
+            for f in audio_files:
+                print(f"{f.name}: {asr.transcribe(str(f))}")
+        else:
+            texts = asr.transcribe_files([str(f) for f in audio_files])
+            for f, text in zip(audio_files, texts):
+                print(f"{f.name}: {text}")
     else:
         print(f"\nTranscription:\n{asr.transcribe(str(audio_path))}\n")
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from turkish_asr_tpu.utils.config import get_config
 from turkish_asr_tpu.utils.logger import get_logger
-from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+from turkish_asr_tpu.data.tokenizer import load_tokenizer
 from turkish_asr_tpu.data.dataset import (
     create_datasets, BucketingSampler, PrefetchLoader,
     DEFAULT_WAVEFORM_BUCKETS)
@@ -49,8 +49,9 @@ def main():
     set_seed(config.seed)
     logger.info(f"Devices: {jax.devices()}")
 
-    tokenizer = TurkishTokenizer()
-    logger.info(f"Tokenizer loaded ({tokenizer.backend}). Vocab size: {tokenizer.vocab_size}")
+    tokenizer = load_tokenizer(config.tokenizer_path)
+    backend = getattr(tokenizer, "backend", type(tokenizer).__name__)
+    logger.info(f"Tokenizer loaded ({backend}). Vocab size: {tokenizer.vocab_size}")
 
     logger.info("Preparing datasets...")
     train_dataset, valid_dataset, test_dataset = create_datasets(

@@ -1,0 +1,109 @@
+"""Inference engine API tests: batched transcription, torch-checkpoint
+loading, long-form chunking."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from turkish_asr_tpu.audio.wavio import write_wav
+from turkish_asr_tpu.data.tokenizer import TurkishTokenizer, load_tokenizer
+from turkish_asr_tpu.models.conformer import ModelConfig, init_model
+from turkish_asr_tpu.train.checkpoint import save_checkpoint_file
+
+
+@pytest.fixture(scope="module")
+def asr(tmp_path_factory):
+    from inference import ASRInference
+    d = tmp_path_factory.mktemp("inf")
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    path = str(d / "m.ckpt")
+    save_checkpoint_file(path, {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}, params, state)
+    return ASRInference(path, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    sr = 16000
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, dur in enumerate([0.3, 0.5, 1.2, 2.0]):
+        x = (0.2 * rng.standard_normal(int(sr * dur))).astype(np.float32)
+        p = str(d / f"w{i}.wav")
+        write_wav(p, x, sr)
+        paths.append(p)
+    return paths
+
+
+def test_transcribe_files_batched(asr, wav_dir):
+    texts = asr.transcribe_files(wav_dir, batch_size=4)
+    assert len(texts) == len(wav_dir)
+    assert all(isinstance(t, str) for t in texts)
+    # batched result must match per-file greedy result
+    seq = [asr.transcribe(p) for p in wav_dir]
+    assert texts == seq
+
+
+def test_transcribe_files_error_capture(asr, wav_dir, tmp_path):
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"nope")
+    texts = asr.transcribe_files(wav_dir + [bad], batch_size=4)
+    assert texts[-1] == ""
+    assert texts[:-1] == asr.transcribe_files(wav_dir, batch_size=4)
+
+
+def test_long_form_chunking(asr, tmp_path):
+    # 40 s > largest bucket (32 s): must go through the chunked path and
+    # produce frames covering the whole file.
+    sr = 16000
+    x = (0.1 * np.random.default_rng(2).standard_normal(40 * sr)).astype(np.float32)
+    p = str(tmp_path / "long.wav")
+    write_wav(p, x, sr)
+    logits, out_len = asr._logits(p)
+    # ~25 frames/sec post-subsample; chunking trims small overlap margins
+    assert out_len > 35 * 25
+    text = asr.transcribe(p)
+    assert isinstance(text, str)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference")
+def test_loads_reference_pt_checkpoint(tmp_path, wav_dir):
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from model.conformer import TurkishASRModel
+    finally:
+        sys.path.remove("/root/reference")
+    tok = TurkishTokenizer()
+    m = TurkishASRModel(n_mel_channels=80, d_model=32, n_heads=2,
+                        n_blocks=1, n_classes=tok.vocab_size, dropout=0.0)
+    pt = str(tmp_path / "ref.pt")
+    torch.save({"model_state_dict": m.state_dict()}, pt)
+
+    from inference import ASRInference
+    asr = ASRInference(pt, n_heads=2, compute_dtype=jnp.float32)
+    assert asr.cfg.d_model == 32 and asr.cfg.n_blocks == 1
+    text = asr.transcribe(wav_dir[0])
+    assert isinstance(text, str)
+
+
+def test_load_tokenizer_bpe(tmp_path):
+    from turkish_asr_tpu.data.bpe import train_bpe, BPETokenizer
+    vocab, merges = train_bpe(["merhaba dünya"] * 3, vocab_size=40)
+    p = str(tmp_path / "tok.json")
+    BPETokenizer(vocab, merges).save(p)
+    tok = load_tokenizer(p)
+    assert tok.pad_token_id == 0
+    assert tok.decode(tok.encode("merhaba")) == "merhaba"

@@ -81,6 +81,19 @@ def _ctc_collapse(ids, blank_id):
     return filtered
 
 
+def load_tokenizer(tokenizer_path=None):
+    """Tokenizer factory: a ``.json`` path loads a BPETokenizer trained by
+    spm_train.py (the reference trains one but never wires it —
+    SURVEY.md §2 spm_train row; here it is usable end-to-end); anything
+    else (or None) builds the default TurkishTokenizer."""
+    if tokenizer_path and tokenizer_path.endswith(".json"):
+        from turkish_asr_tpu.data.bpe import BPETokenizer
+        return BPETokenizer.load(tokenizer_path)
+    if tokenizer_path:
+        return TurkishTokenizer(model_name=tokenizer_path)
+    return TurkishTokenizer()
+
+
 class TurkishTokenizer:
     """HF AutoTokenizer wrapper with an offline char-level fallback.
 

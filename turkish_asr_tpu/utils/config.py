@@ -77,6 +77,8 @@ def get_config(argv=None):
                         help="Enable Pallas TPU kernels for attention/front-end hot paths")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="If set, capture a jax.profiler trace of the first training steps here")
+    parser.add_argument("--tokenizer_path", type=str, default=None,
+                        help="Tokenizer: a .json BPE vocab from spm_train.py, or an HF model name")
 
     config = parser.parse_args(argv)
     return config
