@@ -46,6 +46,12 @@ def main():
     logger.info("Turkish ASR Model Training (TPU)")
     logger.info("=" * 60)
 
+    if config.distributed:
+        # Multi-host (pod slice): one process per host; mesh axes span all
+        # global devices, collectives ride ICI/DCN. No-op on a single host.
+        jax.distributed.initialize()
+        logger.info(f"Distributed: process {jax.process_index()}/{jax.process_count()}")
+
     set_seed(config.seed)
     logger.info(f"Devices: {jax.devices()}")
 

@@ -135,7 +135,9 @@ def mqa_attention(
     v = v.transpose(0, 2, 1, 3)
 
     context = None
-    if kernel is not None:
+    # The fused kernel has no attention-weight dropout; match the reference
+    # dense-path semantics by only taking it when dropout is inactive.
+    if kernel is not None and (not train or dropout <= 0.0):
         # A kernel may decline (return None) for shapes where the fallback
         # is faster — e.g. short sequences vs the Pallas flash kernel.
         context = kernel(q.astype(compute_dtype), k.astype(compute_dtype),

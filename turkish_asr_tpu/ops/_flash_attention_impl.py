@@ -26,6 +26,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# custom VJP: Pallas forward + recomputed-einsum backward, so the kernel is
+# usable under jax.grad (training). The backward matches autodiff of the
+# reference softmax-attention math exactly; forward speed is where the
+# kernel pays off (long-form sequences).
+
+
 def _attend(q, k, v, maskf, scale, out_dtype):
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -44,7 +50,7 @@ def _attend(q, k, v, maskf, scale, out_dtype):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_attention(q, k, v, mask=None, *, block_q=256, block_k=None):
-    """Fused attention.
+    """Fused attention (differentiable — custom VJP).
 
     Args:
         q: (B, H, T, D)
@@ -54,6 +60,57 @@ def flash_attention(q, k, v, mask=None, *, block_q=256, block_k=None):
     Returns:
         (B, H, T, D) context, fp32.
     """
+    return _flash_attention_vjp(q, k, v, mask, block_q)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_vjp(q, k, v, mask, block_q):
+    return _flash_attention_fwd_impl(q, k, v, mask, block_q)
+
+
+def _flash_fwd_rule(q, k, v, mask, block_q):
+    out = _flash_attention_fwd_impl(q, k, v, mask, block_q)
+    return out, (q, k, v, mask)
+
+
+def _flash_bwd_rule(block_q, residuals, g):
+    q, k, v, mask = residuals
+    B, H, T, D = q.shape
+    Kh = k.shape[1]
+    scale = 1.0 / math.sqrt(D)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if Kh != H:
+        kf = jnp.broadcast_to(kf, (B, H, T, D))
+        vf = jnp.broadcast_to(vf, (B, H, T, D))
+    scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, -1e9)
+    p = jax.nn.softmax(scores, axis=-1)
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("bhts,bhtd->bhsd", p, gf,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhtd,bhsd->bhts", gf, vf,
+                    preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhts,bhsd->bhtd", ds, kf,
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhts,bhtd->bhsd", ds, qf,
+                    preferred_element_type=jnp.float32)
+    if Kh != H:  # fold gradients of the broadcast KV head
+        dk = jnp.sum(dk, axis=1, keepdims=True)
+        dv = jnp.sum(dv, axis=1, keepdims=True)
+    dmask = None
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dmask)
+
+
+_flash_attention_vjp.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _flash_attention_fwd_impl(q, k, v, mask, block_q):
     B, H, T, D = q.shape
     Kh = k.shape[1]
     scale = 1.0 / math.sqrt(D)

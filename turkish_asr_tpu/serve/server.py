@@ -35,6 +35,7 @@ class ServerConfig:
         self.N_BLOCKS = int(os.environ.get("N_BLOCKS", "8"))
         self.USE_BEAM_SEARCH = os.environ.get("USE_BEAM_SEARCH", "false").lower() == "true"
         self.BEAM_WIDTH = int(os.environ.get("BEAM_WIDTH", "10"))
+        self.TOKENIZER_PATH = os.environ.get("ASR_TOKENIZER_PATH") or None
         self.HOST = os.environ.get("ASR_HOST", "0.0.0.0")
         self.PORT = int(os.environ.get("ASR_PORT", "8000"))
 
@@ -56,6 +57,7 @@ class ASRService:
                     n_blocks=self.config.N_BLOCKS,
                     use_beam_search=self.config.USE_BEAM_SEARCH,
                     beam_width=self.config.BEAM_WIDTH,
+                    tokenizer_path=self.config.TOKENIZER_PATH,
                 )
                 print("Model loaded successfully!")
                 if warmup:

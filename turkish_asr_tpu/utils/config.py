@@ -79,6 +79,9 @@ def get_config(argv=None):
                         help="If set, capture a jax.profiler trace of the first training steps here")
     parser.add_argument("--tokenizer_path", type=str, default=None,
                         help="Tokenizer: a .json BPE vocab from spm_train.py, or an HF model name")
+    parser.add_argument("--distributed", action="store_true",
+                        help="Multi-host: call jax.distributed.initialize() (TPU pod slices); "
+                             "coordinator/process env comes from the TPU runtime")
 
     config = parser.parse_args(argv)
     return config
