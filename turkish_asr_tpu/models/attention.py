@@ -89,8 +89,10 @@ def init_attention(key, d_model, n_heads, use_mqa=True):
 
 
 def _dense(p, x, compute_dtype):
-    return jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
-                   preferred_element_type=jnp.float32) + p["b"]
+    # fp32 accumulation on the MXU, activations carried in compute_dtype
+    out = jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
+                  preferred_element_type=jnp.float32) + p["b"]
+    return out.astype(compute_dtype)
 
 
 def mqa_attention(

@@ -71,14 +71,18 @@ def _init_groupnorm(num_channels):
 
 
 def group_norm(p, x, num_groups, eps=1e-5):
-    """GroupNorm on (B, T, C): per (sample, group) stats over (T, C/G)."""
+    """GroupNorm on (B, T, C): per (sample, group) stats over (T, C/G).
+
+    Statistics in fp32; output in the input dtype (bf16 residual-stream
+    policy — halves HBM traffic on the norm-heavy Conformer block, like
+    torch AMP's fp16 activations in the reference)."""
     B, T, C = x.shape
     g = num_groups
     xg = x.astype(jnp.float32).reshape(B, T, g, C // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
     xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, T, C)
-    return xn * p["scale"] + p["bias"]
+    return (xn * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _init_batchnorm(num_channels):
@@ -107,12 +111,14 @@ def batch_norm(p, state, x, train, momentum=0.1, eps=1e-5):
         mean, var = state["mean"], state["var"]
         new_state = state
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return xn * p["scale"] + p["bias"], new_state
+    return (xn * p["scale"] + p["bias"]).astype(x.dtype), new_state
 
 
 def _dense(p, x, compute_dtype):
-    return jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
-                   preferred_element_type=jnp.float32) + p["b"]
+    # fp32 accumulation on the MXU, activations carried in compute_dtype
+    out = jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
+                  preferred_element_type=jnp.float32) + p["b"]
+    return out.astype(compute_dtype)
 
 
 def _dropout(x, rate, rng, train):
@@ -169,7 +175,7 @@ def _conv1d(p, x, *, stride=1, padding, groups=1, compute_dtype=jnp.float32):
         feature_group_count=groups,
         preferred_element_type=compute_dtype,
     )
-    return out.astype(jnp.float32) + p["b"]
+    return (out.astype(jnp.float32) + p["b"]).astype(compute_dtype)
 
 
 def _init_conv_module(key, d_model, kernel_size):
@@ -265,7 +271,7 @@ def _conv2d(p, x, *, stride, padding, compute_dtype):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=compute_dtype,
     )
-    return out.astype(jnp.float32) + p["b"]
+    return (out.astype(jnp.float32) + p["b"]).astype(compute_dtype)
 
 
 def init_model(key, cfg: ModelConfig):
@@ -358,5 +364,5 @@ def apply_model(
         body, (h, jnp.asarray(0)), (params["blocks"], state["blocks"])
     )
 
-    logits = _dense(params["fc"], h, compute_dtype)
+    logits = _dense(params["fc"], h, compute_dtype).astype(jnp.float32)
     return logits, {"blocks": new_block_state}

@@ -59,6 +59,14 @@ def replicated_sharding(mesh):
 
 def shard_batch(mesh, batch):
     """Place a dict of host arrays with the batch axis sharded on "data"."""
+    if "data" in mesh.axis_names:
+        data_size = mesh.shape["data"]
+        for k, v in batch.items():
+            if np.ndim(v) >= 1 and np.shape(v)[0] % data_size != 0:
+                raise ValueError(
+                    f"batch axis {np.shape(v)[0]} of '{k}' not divisible by "
+                    f"data-parallel size {data_size}; pick --batch_size as a "
+                    f"multiple of the mesh 'data' axis")
     return {
         k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
         for k, v in batch.items()

@@ -250,6 +250,30 @@ class Trainer:
             from turkish_asr_tpu.utils.runtime import start_profiler_trace
             start_profiler_trace(profile_dir)
 
+        # Losses stay on device between log intervals: fetching a scalar
+        # every step costs a full host<->device round trip (~100ms over a
+        # TPU tunnel) and would serialize the pipeline. The NaN *skip*
+        # itself happens on-device (lax.cond in the train step); the host
+        # only reports it, which can be deferred.
+        pending = []  # (batch_idx, device loss)
+
+        def flush():
+            nonlocal epoch_loss, num_batches
+            if not pending:
+                return float("nan")
+            vals = np.asarray(jnp.stack([l for _, l in pending]))
+            last = float(vals[-1])
+            for (b_idx, _), v in zip(pending, vals):
+                v = float(v)
+                if not np.isfinite(v):
+                    self.logger.warning(
+                        f"Epoch {epoch}, Batch {b_idx}: NaN loss, skipping...")
+                    continue
+                epoch_loss += v
+                num_batches += 1
+            pending.clear()
+            return last
+
         for batch_idx, batch in enumerate(self.train_loader):
             if batch is None:
                 continue
@@ -258,29 +282,25 @@ class Trainer:
             self.params, self.model_state, self.opt_state, loss = \
                 self._train_step(self.params, self.model_state,
                                  self.opt_state, device_batch, step_rng)
-            loss_val = float(loss)
-            if not np.isfinite(loss_val):
-                self.logger.warning(
-                    f"Epoch {epoch}, Batch {batch_idx}: NaN loss, skipping...")
-                continue
+            pending.append((batch_idx, loss))
             self._micro_step += 1
             if self._micro_step % self.accumulation_steps == 0:
                 self.global_step += 1
-            epoch_loss += loss_val
-            num_batches += 1
-            if profiling and num_batches == 20:
+            if profiling and batch_idx + 1 == 20:
                 from turkish_asr_tpu.utils.runtime import stop_profiler_trace
                 stop_profiler_trace(profile_dir)
                 profiling = False
                 self.logger.info(f"Profiler trace written to {profile_dir}")
             if (batch_idx + 1) % self.config.log_interval == 0:
+                last_loss = flush()
                 current_lr = float(self.schedule(self.global_step))
                 self.logger.info(
                     f"Epoch [{epoch}/{self.config.epochs}] "
                     f"Batch [{batch_idx + 1}/{len(self.train_loader)}] "
-                    f"Loss: {loss_val:.4f} "
+                    f"Loss: {last_loss:.4f} "
                     f"LR: {current_lr:.2e}")
 
+        flush()
         if profiling:
             from turkish_asr_tpu.utils.runtime import stop_profiler_trace
             stop_profiler_trace(profile_dir)
