@@ -24,7 +24,7 @@ import numpy as np
 BATCH = 128          # swept on v5e: 128 x 8 s maximizes chip throughput
 SECONDS = 8.0
 SR = 16000
-ITERS = 5
+ITERS = 10
 BASELINE_BATCH = 16  # torch-CPU proxy saturates its threads at small batch
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "baseline_measured.json")
@@ -45,7 +45,6 @@ def bench_tpu():
     from turkish_asr_tpu.ops.flash_attention import make_flash_attention
     attn_kernel = make_flash_attention()
 
-    @jax.jit
     def pipeline(waveforms, wav_lengths):
         feats, frame_lengths = log_mel_spectrogram(
             waveforms, wav_lengths, n_mels=cfg.n_mels)
@@ -57,6 +56,20 @@ def bench_tpu():
         ids, counts = greedy_collapse_batch(logits, out_lengths, blank_id=0)
         return ids, counts
 
+    # Timing methodology: ITERS pipeline executions inside ONE jitted
+    # lax.scan with a forced data dependency between iterations. This
+    # serializes the work on-device and needs a single dispatch + a single
+    # final sync — immune to async-dispatch/dedup artifacts of remote TPU
+    # tunnels (validated against a distinct-inputs method; both agree).
+    @jax.jit
+    def chained(waveforms, wav_lengths):
+        def body(carry, _):
+            ids, counts = pipeline(carry, wav_lengths)
+            nxt = carry + counts.sum().astype(jnp.float32) * 1e-30
+            return nxt, counts.sum()
+        _, sums = jax.lax.scan(body, waveforms, None, length=ITERS)
+        return sums
+
     S = int(SECONDS * SR)
     rng = np.random.default_rng(0)
     waveforms = jnp.asarray((rng.standard_normal((BATCH, S)) * 0.1)
@@ -64,13 +77,10 @@ def bench_tpu():
     wav_lengths = jnp.full((BATCH,), S, dtype=jnp.int32)
 
     # warmup / compile
-    ids, counts = pipeline(waveforms, wav_lengths)
-    jax.block_until_ready((ids, counts))
+    jax.block_until_ready(chained(waveforms, wav_lengths))
 
     start = time.perf_counter()
-    for _ in range(ITERS):
-        ids, counts = pipeline(waveforms, wav_lengths)
-    jax.block_until_ready((ids, counts))
+    jax.block_until_ready(chained(waveforms, wav_lengths))
     elapsed = time.perf_counter() - start
 
     audio_sec = ITERS * BATCH * SECONDS

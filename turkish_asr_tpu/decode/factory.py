@@ -16,12 +16,20 @@ from turkish_asr_tpu.decode.lm import KenLMModel
 
 
 class DeviceBeamDecoder:
-    """Batched on-device beam search wrapped in the decoder API."""
+    """Batched on-device beam search wrapped in the decoder API.
 
-    def __init__(self, tokenizer, beam_width=16, blank_id=0):
+    Optional on-device LM shallow fusion: pass ``lm_bias`` (a (V+1, V)
+    token-LM log-prob matrix, e.g. decode/lm.token_bigram_matrix) and
+    ``lm_weight``.
+    """
+
+    def __init__(self, tokenizer, beam_width=16, blank_id=0,
+                 lm_bias=None, lm_weight=0.3):
         self.tokenizer = tokenizer
         self.beam_width = beam_width
         self.blank_id = blank_id
+        self.lm_bias = lm_bias
+        self.lm_weight = lm_weight
 
     def decode(self, logits, length=None):
         import numpy as np
@@ -31,11 +39,15 @@ class DeviceBeamDecoder:
     def decode_batch(self, logits, lengths=None):
         import numpy as np
         import jax.numpy as jnp
-        from turkish_asr_tpu.decode.beam import beam_search_batch
+        from turkish_asr_tpu.ops.beam_search import ctc_beam_search
         x = jnp.asarray(logits)
         lens = None if lengths is None else jnp.asarray(lengths)
-        ids, counts = beam_search_batch(x, lens, beam_width=self.beam_width,
-                                        blank_id=self.blank_id)
+        kwargs = {}
+        if self.lm_bias is not None:
+            kwargs = {"lm_bias": jnp.asarray(self.lm_bias),
+                      "lm_weight": self.lm_weight}
+        ids, counts = ctc_beam_search(x, lens, beam_width=self.beam_width,
+                                      blank_id=self.blank_id, **kwargs)
         ids, counts = np.asarray(ids), np.asarray(counts)
         return [self.tokenizer.decode(ids[i, :counts[i]].tolist())
                 for i in range(ids.shape[0])]

@@ -136,6 +136,41 @@ class KenLMModel:
         return self.model.score_word(word, context)
 
 
+def token_bigram_matrix(texts, tokenizer, vocab_size):
+    """Dense (V+1, V) token-bigram log-prob matrix for on-device fusion.
+
+    Row 0 is the empty/start context; row i+1 conditions on last token i.
+    Scores replicate ``NGramLanguageModel(order=2).train(texts, tokenizer)``
+    query semantics exactly — log(count/total + 1e-10) for tokens under a
+    seen context, log(1e-10) for unseen tokens under a seen context, and
+    -10 for unseen contexts (the empty prefix is always "unseen" because
+    beam queries pass raw prefixes, never <s>) — so the on-device beam with
+    this bias matches the host beam with that LM bit-for-bit.
+    """
+    import numpy as np
+    counts = {}
+    totals = {}
+    for text in texts:
+        toks = list(tokenizer.encode(text))
+        padded = ["<s>"] + toks + ["</s>"]
+        for a, b in zip(padded, padded[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+            totals[a] = totals.get(a, 0) + 1
+    mat = np.full((vocab_size + 1, vocab_size), -10.0, dtype=np.float32)
+    unseen = math.log(1e-10)
+    for a, total in totals.items():
+        if not isinstance(a, int) or a >= vocab_size:
+            continue  # "<s>" contexts are never queried by the beam
+        mat[a + 1, :] = unseen
+    for (a, b), c in counts.items():
+        if not isinstance(a, int) or not isinstance(b, int):
+            continue
+        if a >= vocab_size or b >= vocab_size:
+            continue
+        mat[a + 1, b] = math.log(c / totals[a] + 1e-10)
+    return mat
+
+
 class NGramLanguageModel:
     """Count-based n-gram fallback (reference decoding.py:88-125)."""
 

@@ -83,7 +83,8 @@ def _merge_candidates(h1, h2, p_b, p_nb, parent, tok):
     return h1s, h2s, pb_m, pnb_m, pars, toks
 
 
-def _beam_step(state, logp_t, active, beam_width, blank_id, L):
+def _beam_step(state, logp_t, active, beam_width, blank_id, L,
+               lm_bias=None, lm_weight=0.3):
     prefixes, lengths, last, p_b, p_nb, h1, h2 = state
     W = beam_width
     V = logp_t.shape[0]
@@ -107,6 +108,14 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L):
     is_blank = tok == blank_id
     is_repeat = tok == last[:, None]
     ext_pnb = jnp.where(is_repeat, p_b[:, None] + lp, total[:, None] + lp)
+    if lm_bias is not None:
+        # Shallow fusion on prefix extension — like the reference, LM score
+        # is added only on the different-token extend case
+        # (/root/reference/utils/decoding.py:261-263).
+        lm_rows = lm_bias[jnp.clip(last + 1, 0, lm_bias.shape[0] - 1)]  # (W, V)
+        lm = jnp.take_along_axis(lm_rows, jnp.clip(tok, 0, V - 1), axis=1)
+        ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
+                            ext_pnb + lm_weight * lm)
     ext_pnb = jnp.where(is_blank, NEG_INF, ext_pnb)
     # Dead parents must not spawn candidates.
     ext_pnb = jnp.where(total[:, None] <= NEG_INF * 0.5, NEG_INF, ext_pnb)
@@ -158,7 +167,8 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L):
                         new_state, state)
 
 
-def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len):
+def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
+                        lm_bias=None, lm_weight=0.3):
     T, V = logp.shape
     W, L = beam_width, max_prefix_len
 
@@ -174,7 +184,8 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len):
 
     def step(state, t):
         active = t < length
-        new_state = _beam_step(state, logp[t], active, W, blank_id, L)
+        new_state = _beam_step(state, logp[t], active, W, blank_id, L,
+                               lm_bias=lm_bias, lm_weight=lm_weight)
         return new_state, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(T))
@@ -183,14 +194,20 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len):
     return prefixes[best], lengths[best]
 
 
-@partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len"))
+@partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len",
+                                   "lm_weight"))
 def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
-                    max_prefix_len=None):
+                    max_prefix_len=None, lm_bias=None, lm_weight=0.3):
     """Batched on-device CTC prefix beam search.
 
     Args:
         log_probs: (B, T, V) log-softmax outputs.
         lengths: optional (B,) valid frame counts.
+        lm_bias: optional (V+1, V) token-LM log-prob matrix for on-device
+            shallow fusion (row 0 = empty context, row i+1 = last token i;
+            see decode/lm.token_bigram_matrix). Added with weight
+            ``lm_weight`` on different-token prefix extensions, exactly
+            like the reference's LM fusion.
 
     Returns:
         (ids (B, Lmax) int32, counts (B,)) — best beam per batch item.
@@ -200,6 +217,11 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
     fn = partial(_beam_search_single, beam_width=beam_width,
-                 blank_id=blank_id, max_prefix_len=L)
-    ids, counts = jax.vmap(fn)(log_probs, lengths)
+                 blank_id=blank_id, max_prefix_len=L,
+                 lm_weight=lm_weight)
+    if lm_bias is not None:
+        ids, counts = jax.vmap(lambda lp, n: fn(lp, n, lm_bias=lm_bias))(
+            log_probs, lengths)
+    else:
+        ids, counts = jax.vmap(fn)(log_probs, lengths)
     return ids, counts
