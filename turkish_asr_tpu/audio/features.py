@@ -122,20 +122,14 @@ def _frame_indices_reflect(n_frames, n_samples, lengths, n_fft, hop_length):
     return jnp.clip(p, 0, n_samples - 1)
 
 
-def _frames_via_reshape(x, lengths, n_frames, n_fft, hop_length):
-    """Zero-gather framing with per-utterance reflect padding.
-
-    TPU-first: a giant gather fused into the DFT matmul destroys MXU
-    throughput (measured 108 ms -> 3 ms for B=32 x 8 s on v5e by switching
-    to this). Instead: write the reflected edge samples (n_fft//2 each
-    side) explicitly into a padded buffer, then build overlapping frames
-    from ceil(n_fft/hop) *strided slices* of the hop-reshaped signal —
-    pure slicing/concat, bit-exact vs the gather path.
-    """
+def _reflect_padded(x, lengths, n_frames, n_fft, hop_length, min_len=0):
+    """Reflect-padded buffer: n_fft//2 reflected samples written explicitly
+    on each side against per-utterance true lengths; tail zero-padded to at
+    least ``min_len`` samples."""
     B, S = x.shape
     half = n_fft // 2
     n_chunks = -(-n_fft // hop_length)  # ceil
-    pad_to = hop_length * (n_frames + n_chunks)
+    pad_to = max(hop_length * (n_frames + n_chunks), min_len)
     buf = jnp.pad(x, ((0, 0), (half, pad_to - S - half)))
     # Left reflect (static): buf[:, :half] = x[:, half:0:-1]
     buf = buf.at[:, :half].set(x[:, 1:half + 1][:, ::-1])
@@ -149,8 +143,22 @@ def _frames_via_reshape(x, lengths, n_frames, n_fft, hop_length):
             row_x, (jnp.maximum(L - 1 - half, 0),), (half,))
         return jax.lax.dynamic_update_slice(row_buf, src[::-1], (half + L,))
 
-    buf = jax.vmap(fix)(x, buf, lengths)
+    return jax.vmap(fix)(x, buf, lengths)
 
+
+def _frames_via_reshape(x, lengths, n_frames, n_fft, hop_length):
+    """Zero-gather framing with per-utterance reflect padding.
+
+    TPU-first: a giant gather fused into the DFT matmul destroys MXU
+    throughput (measured 108 ms -> 3 ms for B=32 x 8 s on v5e by switching
+    to this). Instead: write the reflected edge samples (n_fft//2 each
+    side) explicitly into a padded buffer, then build overlapping frames
+    from ceil(n_fft/hop) *strided slices* of the hop-reshaped signal —
+    pure slicing/concat, bit-exact vs the gather path.
+    """
+    B, S = x.shape
+    n_chunks = -(-n_fft // hop_length)
+    buf = _reflect_padded(x, lengths, n_frames, n_fft, hop_length)
     n_hops = buf.shape[1] // hop_length
     wh = buf[:, :n_hops * hop_length].reshape(B, n_hops, hop_length)
     pieces = [wh[:, c:n_frames + c] for c in range(n_chunks - 1)]
@@ -161,7 +169,7 @@ def _frames_via_reshape(x, lengths, n_frames, n_fft, hop_length):
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "n_mels",
                                    "sample_rate", "f_min", "f_max", "top_db",
-                                   "normalize"))
+                                   "normalize", "use_kernel"))
 def log_mel_spectrogram(
     waveform,
     lengths=None,
@@ -175,6 +183,7 @@ def log_mel_spectrogram(
     f_max=8000.0,
     top_db=80.0,
     normalize=True,
+    use_kernel=None,
 ):
     """Compute log-mel features (optionally CMVN-normalized).
 
@@ -193,34 +202,58 @@ def log_mel_spectrogram(
     B, S = x.shape
     n_frames = 1 + S // hop_length
 
-    if S > n_fft:
-        frames = _frames_via_reshape(x, lengths, n_frames, n_fft, hop_length)
-    else:
-        # Degenerate tiny inputs: gather fallback handles multi-reflection.
-        idx = _frame_indices_reflect(n_frames, S, lengths, n_fft, hop_length)
-        if idx.ndim == 2:
-            frames = x[:, idx]                              # (B, T, n_fft)
-        else:
-            flat = idx.reshape(B, -1)
-            frames = jnp.take_along_axis(x, flat, axis=1).reshape(
-                B, n_frames, n_fft)
-
     dft = jnp.asarray(_windowed_dft_matrix(n_fft, win_length))
     fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max))
-
-    # precision='highest': on TPU the default f32 matmul uses bf16 MXU
-    # passes; log10 amplifies relative error on low-energy bins, so the
-    # (tiny) front-end matmuls run at full fp32 MXU precision.
-    spec = jnp.dot(frames, dft, precision="highest",
-                   preferred_element_type=jnp.float32)
     n_bins = n_fft // 2 + 1
-    power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2  # (B, T, n_bins)
-    mel = jnp.dot(power, fb, precision="highest",
-                  preferred_element_type=jnp.float32)  # (B, T, n_mels)
 
-    # AmplitudeToDB(stype="power", top_db): 10*log10(clamp(x, 1e-10)),
-    # clamped from below at per-utterance max - top_db.
-    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    if use_kernel is None:
+        # Measured on v5e: XLA's fused jnp path beats the Pallas kernel at
+        # this op mix (the kernel pays a 1.9x zero-pad FLOPs tax for
+        # Mosaic's 128-lane DMA alignment and runs its tile DMAs
+        # unpipelined) — 5.8ms vs 9.0ms at B=128x8s. Kernel stays opt-in.
+        use_kernel = False
+
+    if use_kernel and S > n_fft:
+        # Fused Pallas kernel: framing + DFT + power + mel + log10 in one
+        # VMEM pass per tile (ops/mel_kernel.py).
+        from turkish_asr_tpu.ops.mel_kernel import fused_log_mel
+        block_t = 256
+        tiles = -(-n_frames // block_t)
+        n_chunks = -(-n_fft // hop_length)
+        span_hops = -(-(block_t + n_chunks) // 8) * 8
+        needed = ((tiles - 1) * block_t + span_hops) * hop_length
+        buf = _reflect_padded(x, lengths, n_frames, n_fft, hop_length,
+                              min_len=needed)
+        log_mel = fused_log_mel(buf, n_frames=n_frames, n_fft=n_fft,
+                                hop=hop_length, win_length=win_length,
+                                n_mels=n_mels, fb=fb, block_t=block_t)
+    else:
+        if S > n_fft:
+            frames = _frames_via_reshape(x, lengths, n_frames, n_fft,
+                                         hop_length)
+        else:
+            # Degenerate tiny inputs: gather fallback handles multi-reflection.
+            idx = _frame_indices_reflect(n_frames, S, lengths, n_fft,
+                                         hop_length)
+            if idx.ndim == 2:
+                frames = x[:, idx]                          # (B, T, n_fft)
+            else:
+                flat = idx.reshape(B, -1)
+                frames = jnp.take_along_axis(x, flat, axis=1).reshape(
+                    B, n_frames, n_fft)
+
+        # precision='highest': on TPU the default f32 matmul uses bf16 MXU
+        # passes; log10 amplifies relative error on low-energy bins, so the
+        # (tiny) front-end matmuls run at full fp32 MXU precision.
+        spec = jnp.dot(frames, dft, precision="highest",
+                       preferred_element_type=jnp.float32)
+        power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
+        mel = jnp.dot(power, fb, precision="highest",
+                      preferred_element_type=jnp.float32)  # (B, T, n_mels)
+
+        # AmplitudeToDB(stype="power", top_db): 10*log10(clamp(x, 1e-10)),
+        # clamped from below at per-utterance max - top_db.
+        log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
 
     if lengths is not None:
         frame_lengths = 1 + lengths // hop_length
