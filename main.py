@@ -100,7 +100,9 @@ def main():
     params, model_state = init_model(jax.random.PRNGKey(config.seed), model_cfg)
     logger.info(f"Model Parameters: {count_params(params):,} total")
 
-    steps_per_epoch = max(len(train_loader) // config.accumulation_steps, 1)
+    # ceil: a partial accumulation window is flushed at epoch end and
+    # consumes one schedule step (see Trainer.flush_accumulation).
+    steps_per_epoch = max(-(-len(train_loader) // config.accumulation_steps), 1)
     total_steps = steps_per_epoch * config.epochs
     optimizer, schedule = make_optimizer(
         config.learning_rate, config.weight_decay, total_steps,

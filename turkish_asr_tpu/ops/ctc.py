@@ -109,8 +109,11 @@ def ctc_loss(
 
     loss = -final_ll
     if zero_infinity:
+        # torch semantics: *infinite* losses (impossible alignments) are
+        # zeroed; NaN losses pass through so callers' NaN-skip logic fires
+        # (zeroing a NaN here would hide it while 0 * NaN grads still
+        # poison the backward pass).
         loss = jnp.where(loss >= -NEG_INF * 0.5, 0.0, loss)
-        loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
 
     if reduction == "none":
         return loss

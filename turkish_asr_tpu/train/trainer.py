@@ -113,6 +113,7 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._flush_step = self._build_flush_step()
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -145,7 +146,12 @@ class Trainer:
                 act_constraint=act_constraint)
 
             # NaN/Inf batch skip: no grads applied, no state advanced.
-            bad = ~jnp.isfinite(loss)
+            # Checked on loss AND gradients: a non-finite activation in a
+            # loss-masked sample yields finite loss but NaN grads via
+            # 0 * NaN in the backward pass.
+            grad_norm_sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                               for g in jax.tree.leaves(grads))
+            bad = ~jnp.isfinite(loss) | ~jnp.isfinite(grad_norm_sq)
 
             def skip(_):
                 return params, opt_state, model_state
@@ -160,6 +166,54 @@ class Trainer:
             return new_params, out_model_state, new_opt_state, loss
 
         return train_step
+
+    def _build_flush_step(self):
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def flush_step(params, opt_state, n_zero_steps):
+            # One dispatch: feed n_zero_steps zero micro-grads so MultiSteps
+            # emits the diluted partial mean at the window boundary.
+            zeros = jax.tree.map(jnp.zeros_like, params)
+
+            def body(_, carry):
+                p, s = carry
+                updates, new_s = tx.update(zeros, s, p)
+                return jax.tree.map(lambda a, u: a + u, p, updates), new_s
+
+            return jax.lax.fori_loop(0, n_zero_steps, body,
+                                     (params, opt_state))
+
+        return flush_step
+
+    def flush_accumulation(self):
+        """Apply leftover accumulated gradients at epoch end.
+
+        Reference contract (trainer.py:214-219): a partial accumulation
+        window is flushed with the partial mean scaled by 1/accum_steps.
+        optax.MultiSteps keeps the running mean of micro-grads, so feeding
+        zero micro-grads up to the window boundary emits exactly
+        sum(collected)/accum_steps — the same diluted flush.
+
+        The leftover count comes from the *device* state (mini_step): the
+        host micro-step counter desyncs whenever the on-device NaN skip
+        fires (the skip branch keeps the old opt_state).
+
+        Deviation from the reference: the flush advances the optax schedule
+        counter (optax ties the schedule to the optimizer step); main.py
+        budgets total_steps with ceil(len(loader)/accum) per epoch so the
+        one-cycle schedule still spans exactly the training run.
+        """
+        if self.accumulation_steps <= 1:
+            return
+        leftover = int(jax.device_get(self.opt_state.mini_step))
+        if leftover == 0:
+            return
+        n_zero = self.accumulation_steps - leftover
+        self.params, self.opt_state = self._flush_step(
+            self.params, self.opt_state, n_zero)
+        self._micro_step += n_zero
+        self.global_step += 1
 
     def _build_eval_step(self):
         cfg = self.cfg
@@ -301,6 +355,7 @@ class Trainer:
                     f"LR: {current_lr:.2e}")
 
         flush()
+        self.flush_accumulation()
         if profiling:
             from turkish_asr_tpu.utils.runtime import stop_profiler_trace
             stop_profiler_trace(profile_dir)
