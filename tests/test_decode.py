@@ -1,6 +1,7 @@
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -108,6 +109,42 @@ def test_device_beam_batch_and_lengths():
     ids2, counts2 = ctc_beam_search(lp[2:3, :3], beam_width=4)
     assert np.asarray(ids)[2, :int(counts[2])].tolist() == \
         np.asarray(ids2)[0, :int(counts2[0])].tolist()
+
+
+def test_beam_wider_than_finite_candidates():
+    """Regression: beam_width > finite candidate count used to admit
+    NEG_INF 'zombie' rows whose hash seeds collided with live single-token
+    prefixes, hash-merging real extensions onto an empty-prefix zombie and
+    dropping tokens (found by review, reproduced: [2,10] decoded as [10])."""
+    V, T, W = 11, 2, 16
+    logits = np.full((T, V), -8.0, dtype=np.float32)
+    logits[0, 2] = 6.0   # frame 0 -> token 2
+    logits[1, 10] = 6.0  # frame 1 -> token 10
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+
+    class IdTok:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    host = CTCBeamDecoder(IdTok(), beam_width=W, word_bonus=0.0)
+    want = host.decode_ids(logits)
+    ids, counts = ctc_beam_search(jnp.asarray(lp)[None], beam_width=W,
+                                  blank_id=0)
+    got = tuple(np.asarray(ids)[0, :int(counts[0])].tolist())
+    assert got == want == (2, 10)
+
+
+def test_beam_max_prefix_len_truncates_cleanly():
+    """Overflow past max_prefix_len must truncate, not overwrite L-1."""
+    V, T = 4, 6
+    logits = np.full((T, V), -8.0, dtype=np.float32)
+    for t, v in enumerate([1, 2, 3, 1, 2, 3]):  # 6 distinct emissions
+        logits[t, v] = 6.0
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    ids, counts = ctc_beam_search(jnp.asarray(lp)[None], beam_width=4,
+                                  blank_id=0, max_prefix_len=3)
+    got = np.asarray(ids)[0, :int(counts[0])].tolist()
+    assert got == [1, 2, 3]  # first 3 tokens kept, overflow dropped
 
 
 def test_greedy_decoder_text():

@@ -232,7 +232,11 @@ def log_mel_spectrogram(
             frames = _frames_via_reshape(x, lengths, n_frames, n_fft,
                                          hop_length)
         else:
-            # Degenerate tiny inputs: gather fallback handles multi-reflection.
+            # Degenerate tiny inputs (< n_fft samples): gather fallback.
+            # Applies ONE reflection fold each side then clamps to the
+            # edge — inputs shorter than n_fft//2 would need multiple
+            # folds (torchaudio refuses such inputs outright; we return
+            # edge-clamped frames instead of raising).
             idx = _frame_indices_reflect(n_frames, S, lengths, n_fft,
                                          hop_length)
             if idx.ndim == 2:

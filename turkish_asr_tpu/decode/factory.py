@@ -46,6 +46,13 @@ class DeviceBeamDecoder:
         if self.lm_bias is not None:
             kwargs = {"lm_bias": jnp.asarray(self.lm_bias),
                       "lm_weight": self.lm_weight}
+        # Cap the carried prefix buffer: CTC emits at most one token per
+        # frame, but realistic transcripts are far shorter than T, and the
+        # scan re-gathers a (W, L) buffer each step — a 512 cap cuts HBM
+        # traffic ~an order of magnitude on long utterances (overflow
+        # tokens spill into a discarded column; documented truncation).
+        T = x.shape[1]
+        kwargs["max_prefix_len"] = min(T, 512)
         ids, counts = ctc_beam_search(x, lens, beam_width=self.beam_width,
                                       blank_id=self.blank_id, **kwargs)
         ids, counts = np.asarray(ids), np.asarray(counts)

@@ -33,8 +33,8 @@ _P2, _M2 = 4097, 1073741789
 
 
 def _lse(a, b):
-    mx = jnp.maximum(a, b)
-    return mx + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    # jnp.logaddexp; safe here because NEG_INF is a finite sentinel.
+    return jnp.logaddexp(a, b)
 
 
 def _hash_step(h, tok, p, m):
@@ -123,10 +123,16 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
     ext_parent = jnp.broadcast_to(jnp.arange(W)[:, None], (W, K))
     ext_h1 = _hash_step(jnp.broadcast_to(h1[:, None], (W, K)), tok, _P1, _M1)
     ext_h2 = _hash_step(jnp.broadcast_to(h2[:, None], (W, K)), tok, _P2, _M2)
-    # Disable blank "extensions" in the hash space too (unique dummy ids).
-    dummy = (jnp.arange(W * K).reshape(W, K) + jnp.int32(2 ** 30))
+    # Disable blank "extensions" in the hash space too. Real rolling hashes
+    # are always >= 0, so unique NEGATIVE ids can never merge with a live
+    # prefix (dead-beam seeds use -(1..W); these use -(W+1...)).
+    dummy = -(jnp.arange(W * K).reshape(W, K) + jnp.int32(W + 1))
     ext_h1 = jnp.where(is_blank, dummy, ext_h1)
     ext_h2 = jnp.where(is_blank, dummy, ext_h2)
+    # Dead parents (NEG_INF score) must not spawn mergeable hash ids either.
+    parent_dead = (total <= NEG_INF * 0.5)[:, None]
+    ext_h1 = jnp.where(parent_dead, dummy, ext_h1)
+    ext_h2 = jnp.where(parent_dead, dummy, ext_h2)
 
     # --- pool, merge, select ----------------------------------------------
     c_h1 = jnp.concatenate([stay_h1, ext_h1.reshape(-1)])
@@ -153,10 +159,14 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
     n_lengths = lengths[sel_parent]
     n_last = last[sel_parent]
     extended = sel_tok >= 0
-    write_pos = jnp.clip(n_lengths, 0, L - 1)
+    # Extensions past max_prefix_len spill into an overflow column that is
+    # sliced away (documented truncation) rather than overwriting L-1.
+    write_pos = jnp.where(extended & (n_lengths < L), n_lengths, L)
     rows = jnp.arange(W)
-    n_prefixes = n_prefixes.at[rows, write_pos].set(
-        jnp.where(extended, sel_tok, n_prefixes[rows, write_pos]))
+    padded = jnp.pad(n_prefixes, ((0, 0), (0, 1)))
+    padded = padded.at[rows, write_pos].set(
+        jnp.where(extended, sel_tok, padded[rows, write_pos]))
+    n_prefixes = padded[:, :L]
     n_lengths = jnp.where(extended, jnp.minimum(n_lengths + 1, L), n_lengths)
     n_last = jnp.where(extended, sel_tok, n_last)
 
@@ -177,9 +187,13 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     last = jnp.full((W,), -1, dtype=jnp.int32)
     p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
     p_nb = jnp.full((W,), NEG_INF)
-    h1 = jnp.arange(W, dtype=jnp.int32)  # distinct so dead beams don't merge
-    h2 = jnp.arange(W, dtype=jnp.int32)
-    # Beam 0 (the live empty prefix) gets the canonical hash seed 0.
+    # Beam 0 (the live empty prefix) gets hash seed 0; dead beams get
+    # distinct NEGATIVE seeds — real rolling hashes are >= 0, so a dead
+    # row can never hash-merge with a live prefix (a zero-initialized
+    # seed collided with single-token prefixes and silently dropped
+    # tokens whenever beam_width exceeded the finite candidate count).
+    h1 = -jnp.arange(W, dtype=jnp.int32)
+    h2 = -jnp.arange(W, dtype=jnp.int32)
     state = (prefixes, lengths, last, p_b, p_nb, h1, h2)
 
     def step(state, t):

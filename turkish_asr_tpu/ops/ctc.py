@@ -80,9 +80,8 @@ def ctc_loss(
     final_pos_hi = 2 * target_lengths  # blank after last label
     final_pos_lo = jnp.maximum(2 * target_lengths - 1, 0)
 
-    def logaddexp(a, b):
-        mx = jnp.maximum(a, b)
-        return mx + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    # jnp.logaddexp is NaN-safe here because NEG_INF is a finite sentinel.
+    logaddexp = jnp.logaddexp
 
     def step(alpha, xs):
         emit, t = xs  # (B, S), scalar
