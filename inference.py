@@ -158,11 +158,14 @@ class ASRInference:
         start = 0
         while start < n:
             seg = waveform[start:start + chunk]
+            is_last = start + chunk >= n
             logits, out_len = self._forward_padded(seg)
             logits = logits[:out_len]
             lo = margin_frames if start > 0 else 0
-            hi = out_len - margin_frames if start + chunk < n else out_len
+            hi = out_len if is_last else out_len - margin_frames
             pieces.append(logits[lo:hi])
+            if is_last:
+                break  # a chunk ending exactly at n must not respawn a tail
             start += step
         merged = np.concatenate(pieces, axis=0)
         return merged, merged.shape[0]
@@ -193,8 +196,7 @@ class ASRInference:
         on-device greedy collapse per batch (the reference loops files
         one-by-one). Errors yield "" per file.
         """
-        from turkish_asr_tpu.decode.greedy import GreedyDecoder
-        greedy = GreedyDecoder(self.tokenizer)
+        greedy = self.greedy
         waveforms = {}
         for p in audio_paths:
             try:

@@ -95,16 +95,19 @@ class ASRDataset:
         target = np.asarray(self.tokenizer.encode(transcript), dtype=np.int32)
         return np.asarray(waveform, dtype=np.float32).reshape(-1), target
 
-    def get_waveform(self, idx, _depth=0):
+    def get_waveform(self, idx):
         """(waveform, target) with skip-to-next-sample error recovery
-        (reference dataset.py:101-104)."""
-        try:
-            return self._load_waveform(idx)
-        except Exception as e:  # noqa: BLE001 — parity with reference recovery
-            if _depth >= len(self):
-                raise RuntimeError("No decodable samples in dataset") from e
-            print(f"Error processing {self.file_pairs[idx][0]}: {e}")
-            return self.get_waveform((idx + 1) % len(self), _depth + 1)
+        (reference dataset.py:101-104; iterative so a long run of corrupt
+        files can't blow the recursion limit)."""
+        last_error = None
+        for attempt in range(len(self)):
+            i = (idx + attempt) % len(self)
+            try:
+                return self._load_waveform(i)
+            except Exception as e:  # noqa: BLE001 — parity with reference
+                print(f"Error processing {self.file_pairs[i][0]}: {e}")
+                last_error = e
+        raise RuntimeError("No decodable samples in dataset") from last_error
 
     def __getitem__(self, idx):
         """(features (T, n_mels) float32, target ids) — reference item
@@ -202,6 +205,23 @@ DEFAULT_WAVEFORM_BUCKETS = tuple(
 )
 DEFAULT_TARGET_BUCKETS = (16, 32, 64, 128, 256, 512)
 
+_truncation_warned = 0
+
+
+def _warn_truncation(wav_len, wav_bucket, tgt_len, tgt_bucket):
+    """Truncating audio past the largest bucket while keeping the full
+    transcript corrupts a CTC training pair — warn loudly (rate-limited)."""
+    global _truncation_warned
+    if _truncation_warned < 10:
+        _truncation_warned += 1
+        import logging
+        logging.getLogger("turkish_asr_tpu.data").warning(
+            "collate truncation: waveform %d -> %d samples / target %d -> %d "
+            "tokens; the clipped pair is noisy for CTC. Consider longer "
+            "--bucket_lengths or filtering long utterances.",
+            wav_len, min(wav_len, wav_bucket), tgt_len,
+            min(tgt_len, tgt_bucket))
+
 
 def bucket_table(max_value, buckets):
     """Smallest bucket >= max_value (or the largest bucket if none fits)."""
@@ -242,6 +262,8 @@ def collate_batch(
     for i, (w, t) in enumerate(items):
         s = min(w.shape[0], S)
         l = min(len(t), L)
+        if s < w.shape[0] or l < len(t):
+            _warn_truncation(w.shape[0], S, len(t), L)
         waveforms[i, :s] = w[:s]
         wav_lengths[i] = s
         targets[i, :l] = t[:l]
@@ -290,17 +312,26 @@ class PrefetchLoader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
-        def worker(batch_indices_slice, out_q):
-            for idx_list in batch_indices_slice:
-                out_q.put(self._make_batch(idx_list))
-
         def producer():
+            # Bounded in-flight futures: the executor only works ahead by
+            # prefetch+workers batches, so host RAM holds O(prefetch)
+            # collated batches, not the whole epoch.
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                futures = [ex.submit(self._make_batch, b) for b in batches]
-                for fut in futures:
-                    q.put(fut.result())
-            q.put(stop)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    inflight = deque()
+                    it = iter(batches)
+                    for b in it:
+                        inflight.append(ex.submit(self._make_batch, b))
+                        if len(inflight) >= self.num_workers + self.prefetch:
+                            q.put(inflight.popleft().result())
+                    while inflight:
+                        q.put(inflight.popleft().result())
+            except Exception as e:  # noqa: BLE001 — surface in consumer
+                q.put(e)
+            finally:
+                q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -308,5 +339,7 @@ class PrefetchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, Exception):
+                raise item
             if item is not None:
                 yield item

@@ -128,7 +128,10 @@ def mqa_attention(
     k = _dense(params["k"], x, compute_dtype).reshape(B, T, kv_heads, d_head)
     v = _dense(params["v"], x, compute_dtype).reshape(B, T, kv_heads, d_head)
 
-    cos, sin = rope_cos_sin(T, d_head)
+    # Tables in the activation dtype (reference casts its cache to x.dtype,
+    # attention.py:57-58); f32 tables would silently upcast q/k and double
+    # HBM traffic on the einsum path under the bf16 policy.
+    cos, sin = rope_cos_sin(T, d_head, dtype=q.dtype)
     q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
     k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
 

@@ -118,6 +118,7 @@ class ASRService:
             return 503, {"detail": "Model not loaded"}
         results = []
         for filename, content in uploads:
+            tmp_path = None
             try:
                 ext = os.path.splitext(filename or "")[1].lower() or ".wav"
                 with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tmp:
@@ -125,9 +126,11 @@ class ASRService:
                     tmp_path = tmp.name
                 text = self.asr.transcribe(tmp_path)
                 results.append({"filename": filename, "text": text, "error": None})
-                os.unlink(tmp_path)
             except Exception as e:  # noqa: BLE001
                 results.append({"filename": filename, "text": "", "error": str(e)})
+            finally:
+                if tmp_path and os.path.exists(tmp_path):
+                    os.unlink(tmp_path)
         return 200, {"results": results}
 
 
@@ -144,7 +147,12 @@ def parse_multipart(body, content_type):
     parts = body.split(b"--" + boundary)
     uploads = []
     for part in parts:
-        part = part.strip(b"\r\n")
+        # Trim exactly one protocol CRLF each side — stripping ALL trailing
+        # \r\n bytes would corrupt binary uploads ending in 0x0D/0x0A.
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
         if not part or part == b"--":
             continue
         if b"\r\n\r\n" not in part:
