@@ -220,9 +220,14 @@ class Trainer:
         compute_dtype = self.compute_dtype
         attn_kernel = self.attn_kernel
         act_constraint = activation_constraint(self.mesh)
+        # Collapse with the tokenizer's pad id, matching ctc_decode's blank
+        # (reference quirk 1: decode-blank is pad_token_id, loss-blank is 0).
+        blank = int(getattr(self.tokenizer, "pad_token_id", 0) or 0) \
+            if self.tokenizer else 0
 
         @jax.jit
         def eval_step(params, model_state, batch):
+            from turkish_asr_tpu.decode.greedy import greedy_collapse_batch
             feats, frame_lengths = log_mel_spectrogram(
                 batch["waveforms"], batch["wav_lengths"], n_mels=cfg.n_mels)
             loss, (_, logits) = _batched_loss(
@@ -230,7 +235,12 @@ class Trainer:
                 cfg=cfg, train=False, rng=None,
                 compute_dtype=compute_dtype, attn_kernel=attn_kernel,
                 act_constraint=act_constraint)
-            return loss, logits, frame_lengths // 4
+            # Greedy collapse on device: only the packed ids cross the
+            # host boundary (the logits tensor costs a full round trip
+            # per validation batch over a TPU tunnel).
+            ids, counts = greedy_collapse_batch(
+                logits, frame_lengths // 4, blank_id=blank)
+            return loss, ids, counts
 
         return eval_step
 
@@ -379,15 +389,15 @@ class Trainer:
             if batch is None:
                 continue
             device_batch = shard_batch(self.mesh, batch)
-            loss, logits, out_lengths = self._eval_step(
+            loss, pred_ids, pred_counts = self._eval_step(
                 self.params, self.model_state, device_batch)
             val_loss += float(loss)
             if self.metrics:
                 n_valid = int(batch["sample_mask"].sum())
-                result, preds, targs = self.metrics.compute(
-                    np.asarray(logits)[:n_valid],
-                    batch["targets"][:n_valid],
-                    np.asarray(out_lengths)[:n_valid])
+                result, preds, targs = self.metrics.compute_from_ids(
+                    np.asarray(pred_ids)[:n_valid],
+                    np.asarray(pred_counts)[:n_valid],
+                    batch["targets"][:n_valid])
                 total_wer += result["wer"]
                 total_cer += result["cer"]
                 if num_batches == 0:

@@ -84,6 +84,31 @@ class ASRMetrics:
     def __init__(self, tokenizer):
         self.tokenizer = tokenizer
 
+    def compute_from_ids(self, pred_ids, pred_counts, targets):
+        """WER/CER from already-collapsed prediction ids (the on-device
+        greedy path: only packed ids cross the host boundary, not logits).
+
+        Args:
+            pred_ids: (B, L) left-packed collapsed token ids.
+            pred_counts: (B,) valid counts per row.
+            targets: (B, L) padded target ids (0 = pad/blank).
+        """
+        pred_ids = np.asarray(pred_ids)
+        pred_counts = np.asarray(pred_counts)
+        tgt = np.asarray(targets)
+        preds_str, targets_str = [], []
+        for i in range(pred_ids.shape[0]):
+            ids = pred_ids[i, :int(pred_counts[i])].tolist()
+            preds_str.append(self.tokenizer.decode(ids))
+            t_ids = [int(x) for x in tgt[i] if int(x) != 0]
+            targets_str.append(self.tokenizer.decode(t_ids))
+        try:
+            w = wer(targets_str, preds_str)
+            c = cer(targets_str, preds_str)
+        except Exception:  # noqa: BLE001
+            w, c = 1.0, 1.0
+        return {"wer": w, "cer": c}, preds_str, targets_str
+
     def compute(self, predictions, targets, input_lengths=None):
         """
         Args:
