@@ -29,6 +29,11 @@ class ArpaLanguageModel:
         self.backoff = {}
         self.order = 1
         self._load(model_path)
+        if not self.logprob:
+            raise ValueError(
+                f"No n-grams parsed from {model_path}: not a text ARPA file "
+                "(binary KenLM .bin/.klm files need the kenlm package)")
+        self._vocab = {w[0] for w in self.logprob if len(w) == 1}
 
     def _load(self, path):
         cur_order = 0
@@ -68,7 +73,15 @@ class ArpaLanguageModel:
                     continue
 
     def _cond_score(self, history, word):
-        """log10 p(word | history) with backoff."""
+        """log10 p(word | history) with backoff.
+
+        OOV words (in the query and in the context) map to <unk> first,
+        like KenLM's vocabulary lookup — otherwise backoff paths through
+        <unk>-context n-grams are never taken and scores diverge from the
+        kenlm backend on the same ARPA file."""
+        if word not in self._vocab:
+            word = "<unk>"
+        history = tuple(w if w in self._vocab else "<unk>" for w in history)
         for start in range(len(history) + 1):
             h = history[start:]
             ng = h + (word,)
@@ -79,7 +92,7 @@ class ArpaLanguageModel:
                     h2 = history[s2:]
                     bo += self.backoff.get(h2, 0.0)
                 return bo + self.logprob[ng]
-        # fully unseen: back off to <unk>
+        # fully unseen (no <unk> unigram in the file): flat penalty
         bo = sum(self.backoff.get(history[s:], 0.0) for s in range(len(history)))
         return bo + self.logprob.get(("<unk>",), -10.0)
 
@@ -127,13 +140,12 @@ class KenLMModel:
         return self.model.score(text, bos=bos, eos=eos)
 
     def score_word(self, word, context=""):
-        if self.backend == "kenlm":
-            full_text = f"{context} {word}".strip()
-            if context:
-                return (self.model.score(full_text, bos=True, eos=False)
-                        - self.model.score(context, bos=True, eos=False))
-            return self.model.score(word, bos=True, eos=False)
-        return self.model.score_word(word, context)
+        # Backend-agnostic: both backends expose score(text, bos, eos).
+        full_text = f"{context} {word}".strip()
+        if context:
+            return (self.score(full_text, bos=True, eos=False)
+                    - self.score(context, bos=True, eos=False))
+        return self.score(word, bos=True, eos=False)
 
 
 def token_bigram_matrix(texts, tokenizer, vocab_size):

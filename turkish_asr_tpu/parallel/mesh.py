@@ -48,7 +48,10 @@ def make_mesh(spec=None, devices=None):
 
 
 def batch_sharding(mesh, ndim=1):
-    """Shard the leading (batch) axis over "data", replicate the rest."""
+    """Shard the leading (batch) axis over "data", replicate the rest.
+    Fully replicated when the mesh has no "data" axis or for scalars."""
+    if "data" not in mesh.axis_names or ndim == 0:
+        return NamedSharding(mesh, P())
     spec = ("data",) + (None,) * (ndim - 1)
     return NamedSharding(mesh, P(*spec))
 
@@ -102,7 +105,11 @@ def activation_constraint(mesh):
 def _spec_for_param(path, leaf, mesh):
     """Tensor-parallel layout rules (active only when a "model" axis exists).
 
-    - SwiGLU in-projection  (..., d_model, 2*d_ff): shard output dim
+    - SwiGLU in-projection  (..., d_model, 2*d_ff): shard output dim.
+      Known inefficiency: the gate/value split at d_ff crosses shard
+      boundaries, so GSPMD inserts a reshard inside each FF (the
+      Megatron-style fix — sharding each half separately — needs an
+      interleaved weight layout and is deferred; correctness is tested)
     - SwiGLU out-projection (..., d_ff, d_model):  shard input dim
     - attention q/out projections: shard the head (output / input) dim
     - everything else replicated (conv kernels, norms, classifier)

@@ -128,6 +128,12 @@ def load_torch_checkpoint(path, n_heads=4):
     from turkish_asr_tpu.models.conformer import ModelConfig
     blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
+    # Full reference checkpoints embed vars(config) incl. n_heads
+    # (reference trainer.py:97) — heads are not recoverable from MQA
+    # weight shapes, so prefer the stored value over the argument.
+    if isinstance(blob, dict):
+        stored = blob.get("config") or {}
+        n_heads = int(stored.get("n_heads", n_heads))
     n_mels, d_model, _, n_blocks, n_classes = infer_arch_from_state_dict(sd)
     params, state = import_torch_state_dict(sd, n_blocks)
     cfg = ModelConfig(n_mels=n_mels, d_model=d_model, n_heads=n_heads,
