@@ -74,6 +74,7 @@ class ASRInference:
                 n_blocks=int(mc.get("n_blocks", n_blocks)),
                 n_classes=int(mc.get("n_classes", self.tokenizer.vocab_size)),
                 dropout=0.0,
+                masked_norm=bool(mc.get("masked_norm", False)),
             )
             params = ckpt.get("params") or {}
             if not params:

@@ -96,6 +96,7 @@ def main():
         n_blocks=config.n_blocks,
         n_classes=tokenizer.vocab_size,
         dropout=config.encoder_dropout,
+        masked_norm=config.masked_norm,
     )
     params, model_state = init_model(jax.random.PRNGKey(config.seed), model_cfg)
     logger.info(f"Model Parameters: {count_params(params):,} total")

@@ -50,6 +50,12 @@ class ModelConfig:
     conv_kernel_size: int = 31
     use_mqa: bool = True
     ff_mult: int = 4
+    # Opt-in improvement beyond reference parity: exclude padded frames
+    # from GroupNorm/BatchNorm statistics (the reference lets padding leak
+    # into norm stats — SURVEY.md §2 quirk 3 — which makes outputs depend
+    # on the padded batch length). With masked_norm=True, a padded batch
+    # element produces the same output as the unpadded utterance.
+    masked_norm: bool = False
 
 
 def groupnorm_groups(num_channels, preferred=32):
@@ -70,17 +76,27 @@ def _init_groupnorm(num_channels):
     return {"scale": jnp.ones((num_channels,)), "bias": jnp.zeros((num_channels,))}
 
 
-def group_norm(p, x, num_groups, eps=1e-5):
+def group_norm(p, x, num_groups, eps=1e-5, mask=None):
     """GroupNorm on (B, T, C): per (sample, group) stats over (T, C/G).
 
     Statistics in fp32; output in the input dtype (bf16 residual-stream
     policy — halves HBM traffic on the norm-heavy Conformer block, like
-    torch AMP's fp16 activations in the reference)."""
+    torch AMP's fp16 activations in the reference).
+
+    With ``mask`` (B, T) the statistics span only valid frames
+    (masked_norm mode); without it, padding leaks like the reference."""
     B, T, C = x.shape
     g = num_groups
     xg = x.astype(jnp.float32).reshape(B, T, g, C // g)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+    if mask is None:
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+    else:
+        m = mask.astype(jnp.float32)[:, :, None, None]
+        denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (C // g), 1.0)
+        mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / denom
+        var = jnp.sum(jnp.where(m > 0, (xg - mean) ** 2, 0.0),
+                      axis=(1, 3), keepdims=True) / denom
     xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, T, C)
     return (xn * p["scale"] + p["bias"]).astype(x.dtype)
 
@@ -91,14 +107,25 @@ def _init_batchnorm(num_channels):
     return params, state
 
 
-def batch_norm(p, state, x, train, momentum=0.1, eps=1e-5):
+def batch_norm(p, state, x, train, momentum=0.1, eps=1e-5, mask=None):
     """BatchNorm over (B, T, C): per-channel stats over (B, T).
 
     Matches torch.nn.BatchNorm1d semantics: biased variance normalizes the
-    batch; unbiased variance updates the running estimate.
+    batch; unbiased variance updates the running estimate. With ``mask``
+    (B, T) the batch statistics span only valid frames.
     """
     xf = x.astype(jnp.float32)
-    if train:
+    if train and mask is not None:
+        m = mask.astype(jnp.float32)[:, :, None]
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(xf * m, axis=(0, 1)) / n
+        var = jnp.sum(jnp.where(m > 0, (xf - mean) ** 2, 0.0), axis=(0, 1)) / n
+        unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    elif train:
         mean = jnp.mean(xf, axis=(0, 1))
         var = jnp.mean((xf - mean) ** 2, axis=(0, 1))
         n = x.shape[0] * x.shape[1]
@@ -191,16 +218,25 @@ def _init_conv_module(key, d_model, kernel_size):
     return params, {"bn": bn_s}
 
 
-def conv_module(p, state, x, *, cfg, train, compute_dtype):
-    """GroupNorm -> pointwise(2d) -> GLU -> depthwise(k) -> BN -> SiLU -> pointwise."""
+def conv_module(p, state, x, *, cfg, train, compute_dtype, norm_mask=None):
+    """GroupNorm -> pointwise(2d) -> GLU -> depthwise(k) -> BN -> SiLU -> pointwise.
+
+    With norm_mask (masked_norm mode) the input is zeroed at padded frames
+    before the time convolution, so valid positions see exactly the zeros
+    an unpadded utterance's edge padding would provide, and norm statistics
+    span valid frames only."""
     d = cfg.d_model
-    h = group_norm(p["norm"], x, groupnorm_groups(d))
+    h = group_norm(p["norm"], x, groupnorm_groups(d), mask=norm_mask)
+    if norm_mask is not None:
+        h = jnp.where(norm_mask[:, :, None], h, 0)
     h = _conv1d(p["pw1"], h, padding=0, compute_dtype=compute_dtype)
     a, b = h[..., :d], h[..., d:]
     h = a * jax.nn.sigmoid(b)  # GLU over the channel dim
+    if norm_mask is not None:
+        h = jnp.where(norm_mask[:, :, None], h, 0)  # bias leaks via pw1
     h = _conv1d(p["dw"], h, padding=(cfg.conv_kernel_size - 1) // 2,
                 groups=d, compute_dtype=compute_dtype)
-    h, new_bn = batch_norm(p["bn"], state["bn"], h, train)
+    h, new_bn = batch_norm(p["bn"], state["bn"], h, train, mask=norm_mask)
     h = jax.nn.silu(h)
     h = _conv1d(p["pw2"], h, padding=0, compute_dtype=compute_dtype)
     return h, {"bn": new_bn}
@@ -233,23 +269,24 @@ def conformer_block(p, state, x, mask, *, cfg, train, rng, compute_dtype, attn_k
         r_ff1, r_attn, r_ff2 = jax.random.split(rng, 3)
     else:
         r_ff1 = r_attn = r_ff2 = None
+    nm = mask if (cfg.masked_norm and mask is not None) else None
 
-    x = x + 0.5 * swiglu_ffn(p["ff1"], group_norm(p["norm_ff1"], x, g),
+    x = x + 0.5 * swiglu_ffn(p["ff1"], group_norm(p["norm_ff1"], x, g, mask=nm),
                              dropout=cfg.dropout, train=train, rng=r_ff1,
                              compute_dtype=compute_dtype)
     attn_out = mqa_attention(
-        p["attn"], group_norm(p["norm_attn"], x, g), mask,
+        p["attn"], group_norm(p["norm_attn"], x, g, mask=nm), mask,
         n_heads=cfg.n_heads, use_mqa=cfg.use_mqa, dropout=cfg.dropout,
         train=train, rng=r_attn, compute_dtype=compute_dtype, kernel=attn_kernel,
     )
     x = x + attn_out
     conv_out, new_state = conv_module(p["conv"], state, x, cfg=cfg, train=train,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype, norm_mask=nm)
     x = x + conv_out
-    x = x + 0.5 * swiglu_ffn(p["ff2"], group_norm(p["norm_ff2"], x, g),
+    x = x + 0.5 * swiglu_ffn(p["ff2"], group_norm(p["norm_ff2"], x, g, mask=nm),
                              dropout=cfg.dropout, train=train, rng=r_ff2,
                              compute_dtype=compute_dtype)
-    return group_norm(p["final_norm"], x, g), new_state
+    return group_norm(p["final_norm"], x, g, mask=nm), new_state
 
 
 # ---------------------------------------------------------------------------

@@ -260,6 +260,7 @@ class Trainer:
                 "n_mels": self.cfg.n_mels, "d_model": self.cfg.d_model,
                 "n_heads": self.cfg.n_heads, "n_blocks": self.cfg.n_blocks,
                 "n_classes": self.cfg.n_classes, "dropout": self.cfg.dropout,
+                "masked_norm": self.cfg.masked_norm,
             },
         }
         if name is None:

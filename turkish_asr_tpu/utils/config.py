@@ -79,6 +79,10 @@ def get_config(argv=None):
                         help="If set, capture a jax.profiler trace of the first training steps here")
     parser.add_argument("--tokenizer_path", type=str, default=None,
                         help="Tokenizer: a .json BPE vocab from spm_train.py, or an HF model name")
+    parser.add_argument("--masked_norm", action="store_true",
+                        help="Exclude padded frames from GroupNorm/BatchNorm statistics "
+                             "(improvement beyond reference parity: outputs become independent "
+                             "of padded batch length)")
     parser.add_argument("--distributed", action="store_true",
                         help="Multi-host: call jax.distributed.initialize() (TPU pod slices); "
                              "coordinator/process env comes from the TPU runtime")
