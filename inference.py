@@ -51,6 +51,7 @@ class ASRInference:
         compute_dtype=jnp.bfloat16,
         use_pallas=True,
         tokenizer_path=None,
+        trust_checkpoint=False,
     ):
         from turkish_asr_tpu.utils.runtime import enable_compilation_cache
         from turkish_asr_tpu.data.tokenizer import load_tokenizer
@@ -62,7 +63,7 @@ class ASRInference:
             # (utils/torch_import.py) — reference-trained models run as-is.
             from turkish_asr_tpu.utils.torch_import import load_torch_checkpoint
             self.cfg, self.params, self.model_state = load_torch_checkpoint(
-                model_path, n_heads=n_heads)
+                model_path, n_heads=n_heads, allow_pickle=trust_checkpoint)
         else:
             ckpt = load_checkpoint_file(model_path)
             meta = ckpt.get("meta", {}) or {}
@@ -198,17 +199,19 @@ class ASRInference:
         one-by-one). Errors yield "" per file.
         """
         greedy = self.greedy
-        waveforms = {}
+        # Keyed by input position, not path: duplicate paths in the input
+        # list must each produce their own result slot.
+        waveforms = []
         for p in audio_paths:
             try:
                 w, _ = load_audio(p)
                 if w.shape[0] > DEFAULT_WAVEFORM_BUCKETS[-1]:
-                    waveforms[p] = None  # long-form: fall back per-file
+                    waveforms.append(None)  # long-form: fall back per-file
                 else:
-                    waveforms[p] = w
+                    waveforms.append(w)
             except Exception as e:  # noqa: BLE001
                 print(f"Error processing {p}: {e}")
-                waveforms[p] = False  # decode error
+                waveforms.append(False)  # decode error
 
         # Group by bucket so each file sees the same padded length as the
         # per-file path would give it: GroupNorm statistics span padded
@@ -217,39 +220,39 @@ class ASRInference:
         # output identical to sequential output.
         results = {}
         by_bucket = {}
-        for p, w in waveforms.items():
+        for idx, w in enumerate(waveforms):
             if w is None or w is False:
                 continue
             S = bucket_table(w.shape[0], DEFAULT_WAVEFORM_BUCKETS)
-            by_bucket.setdefault(S, []).append(p)
-        for S, group_paths in sorted(by_bucket.items()):
-            for i in range(0, len(group_paths), batch_size):
-                group = group_paths[i:i + batch_size]
+            by_bucket.setdefault(S, []).append(idx)
+        for S, group_idx in sorted(by_bucket.items()):
+            for i in range(0, len(group_idx), batch_size):
+                group = group_idx[i:i + batch_size]
                 B = batch_size
                 wav = np.zeros((B, S), dtype=np.float32)
                 lens = np.full((B,), 1, dtype=np.int32)
-                for j, p in enumerate(group):
-                    w = waveforms[p]
+                for j, idx in enumerate(group):
+                    w = waveforms[idx]
                     wav[j, :w.shape[0]] = w
                     lens[j] = w.shape[0]
                 logits, out_lens = self._forward_batch(
                     self.params, self.model_state, jnp.asarray(wav),
                     jnp.asarray(lens))
                 texts = greedy.decode_batch(logits, out_lens)
-                for j, p in enumerate(group):
-                    results[p] = texts[j]
+                for j, idx in enumerate(group):
+                    results[idx] = texts[j]
 
         out = []
-        for p in audio_paths:
-            if waveforms[p] is False:
+        for idx, p in enumerate(audio_paths):
+            if waveforms[idx] is False:
                 out.append("")
-            elif waveforms[p] is None:
+            elif waveforms[idx] is None:
                 try:
                     out.append(self.transcribe(p))
                 except Exception:  # noqa: BLE001
                     out.append("")
             else:
-                out.append(results[p])
+                out.append(results[idx])
         return out
 
 
@@ -267,6 +270,9 @@ def main():
                         help="KenLM/ARPA language model for beam-search fusion")
     parser.add_argument("--tokenizer_path", type=str, default=None,
                         help="Tokenizer: .json BPE vocab or HF model name")
+    parser.add_argument("--trust_checkpoint", action="store_true",
+                        help="Allow full unpickling of .pt checkpoints "
+                             "(only for trusted files)")
     args = parser.parse_args()
 
     asr = ASRInference(
@@ -279,6 +285,7 @@ def main():
         beam_width=args.beam_width,
         lm_path=args.lm,
         tokenizer_path=args.tokenizer_path,
+        trust_checkpoint=args.trust_checkpoint,
     )
 
     audio_path = Path(args.audio)

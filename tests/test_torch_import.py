@@ -19,6 +19,10 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference mount not present")
 
 
+class Sneaky:
+    """Module-level so torch.save can pickle it by reference."""
+
+
 def _ref_model(n_mels=80, d_model=64, n_heads=4, n_blocks=2, n_classes=40):
     sys.path.insert(0, REF)
     try:
@@ -91,3 +95,43 @@ def test_checkpoint_file_roundtrip(tmp_path):
     torch.save(ref.state_dict(), path2)
     cfg2, _, _ = load_torch_checkpoint(path2)
     assert cfg2.d_model == 64
+
+
+def test_n_mels_from_config_blob(tmp_path):
+    """n_mels not divisible by 4 is only recoverable from the embedded
+    config (input_proj pins n_mels//4, reference conformer.py:157)."""
+    from turkish_asr_tpu.utils.torch_import import load_torch_checkpoint
+
+    ref = _ref_model(n_mels=78)
+    path = str(tmp_path / "ref78.pt")
+    torch.save({"model_state_dict": ref.state_dict(),
+                "config": {"n_mel_channels": 78, "n_heads": 4}}, path)
+    cfg, _, _ = load_torch_checkpoint(path)
+    assert cfg.n_mels == 78
+
+    # without the blob, inference rounds to the divisible-by-4 member
+    bare = str(tmp_path / "bare78.pt")
+    torch.save(ref.state_dict(), bare)
+    cfg2, _, _ = load_torch_checkpoint(bare)
+    assert cfg2.n_mels == 76  # ambiguity documented: 76..79 share //4
+
+    # an inconsistent blob must raise, not silently misalign
+    bad = str(tmp_path / "bad.pt")
+    torch.save({"model_state_dict": ref.state_dict(),
+                "config": {"n_mel_channels": 120}}, bad)
+    with pytest.raises(ValueError, match="n_mel"):
+        load_torch_checkpoint(bad)
+
+
+def test_weights_only_rejects_pickle_payload(tmp_path):
+    """Untrusted checkpoints load under weights_only=True; arbitrary-object
+    payloads require the explicit allow_pickle opt-in."""
+    from turkish_asr_tpu.utils.torch_import import load_torch_checkpoint
+
+    ref = _ref_model()
+    path = str(tmp_path / "sneaky.pt")
+    torch.save({"model_state_dict": ref.state_dict(), "obj": Sneaky()}, path)
+    with pytest.raises(Exception):
+        load_torch_checkpoint(path)  # default: no pickle execution
+    cfg, _, _ = load_torch_checkpoint(path, allow_pickle=True)
+    assert cfg.d_model == 64

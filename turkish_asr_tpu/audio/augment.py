@@ -34,6 +34,11 @@ def _mask_axis(x, rng, mask_param, axis, axis_len, valid_len=None):
     bounded by the utterance's true length so padding doesn't absorb masks."""
     k1, k2 = jax.random.split(rng)
     value = jax.random.uniform(k1) * mask_param
+    if valid_len is not None:
+        # A mask wider than the utterance would start at 0 and bleed into
+        # padding; cap it at the valid length (torchaudio never masks more
+        # than the tensor it sees).
+        value = jnp.minimum(value, valid_len)
     span = (valid_len if valid_len is not None else axis_len) - value
     min_value = jax.random.uniform(k2) * jnp.maximum(span, 0.0)
     start = min_value.astype(jnp.int32)

@@ -3,9 +3,7 @@
 
 Methods: "greedy" | "beam" | "flashlight". The reference's "flashlight"
 slot (its native high-performance decoder) maps to our on-device vectorized
-beam search; if the optional flashlight-text package happens to be
-installed it is used, otherwise we fall back exactly like the reference
-does.
+beam search — see FlashlightDecoder's docstring for the rationale.
 """
 
 import os
@@ -61,21 +59,26 @@ class DeviceBeamDecoder:
 
 
 class FlashlightDecoder:
-    """Name-parity shim for the reference's FlashlightDecoder
-    (/root/reference/utils/decoding.py:314-393): uses flashlight-text when
-    installed, otherwise the on-device vectorized beam search (the native
-    high-performance decoder slot)."""
+    """Name-parity class for the reference's FlashlightDecoder slot
+    (/root/reference/utils/decoding.py:314-393).
+
+    The reference's "flashlight" method is its *native high-performance
+    decoder* (C++ LexiconFreeDecoder). In this framework the native
+    high-performance decoder IS the on-device vectorized prefix beam
+    search (ops/beam_search.py) — we never call flashlight-text, and we
+    don't import-probe for it to pretend otherwise. With an LM the request
+    routes through the LM-fused beam decoder, matching the reference's
+    KenLM-fused flashlight configuration in capability."""
 
     def __init__(self, tokenizer, lexicon_path=None, lm_path=None,
                  beam_size=100, lm_weight=2.0, word_score=-1.0,
                  sil_score=0.0, beam_threshold=25.0):
         self.tokenizer = tokenizer
-        try:
-            import flashlight.lib.text  # noqa: F401
-            lm = KenLMModel(lm_path) if (lm_path and os.path.exists(lm_path)) else None
+        if lm_path and os.path.exists(lm_path):
+            lm = KenLMModel(lm_path)
             self._impl = CTCBeamDecoder(tokenizer, beam_width=beam_size,
                                         lm=lm, lm_weight=lm_weight)
-        except ImportError:
+        else:
             self._impl = DeviceBeamDecoder(tokenizer,
                                            beam_width=min(beam_size, 32))
 

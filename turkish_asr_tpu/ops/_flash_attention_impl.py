@@ -1,20 +1,28 @@
-"""Pallas TPU fused attention kernel (MQA-aware).
+"""Pallas TPU fused attention kernel (MQA-aware), forward + tiled backward.
 
 Replaces the reference's SDPA CUDA flash-attention dependency
-(/root/reference/model/attention.py:103-115) with a TPU kernel:
+(/root/reference/model/attention.py:103-115) with TPU kernels:
 
+Forward:
 - grid (B, q_blocks): each program computes one q tile against the full
   K/V of its batch element. ASR sequence lengths (post-subsample
   T <= ~8k frames) keep one sequence's K/V in VMEM, so no streaming inner
   loop is needed — one MXU matmul for scores, masked softmax on the VPU,
-  one MXU matmul for the context.
+  one MXU matmul for the context. The row logsumexp is emitted alongside
+  the context so the backward never re-normalizes.
 - MQA: query heads are folded into the q-tile row axis, so the single
   shared KV head is loaded once per tile and serves every head — no
   H-way expanded KV copy (the reference expands, :233-235).
 - padding mask (B, T) enters as float {0,1}; masked scores get -1e9 like
   the reference's dense path (:133).
 
-Used on the inference path; training uses the einsum path (autodiff).
+Backward (flash-style, O(T) HBM — no (T, T) score matrix ever leaves
+VMEM):
+- delta = rowsum(dout * out) is a cheap XLA fusion outside the kernel.
+- one kernel pass over q tiles recomputes the probability tile from the
+  saved logsumexp, emits the dq tile, and accumulates dk/dv into
+  revisited output blocks (the TPU grid is sequential, so read-modify-
+  write accumulation across q tiles is well-defined).
 """
 
 import functools
@@ -26,31 +34,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# custom VJP: Pallas forward + recomputed-einsum backward, so the kernel is
-# usable under jax.grad (training). The backward matches autodiff of the
-# reference softmax-attention math exactly; forward speed is where the
-# kernel pays off (long-form sequences).
+NEG = -1e9
 
 
 def _attend(q, k, v, maskf, scale, out_dtype):
+    """One q tile vs full K/V. Returns (context, logsumexp-rows)."""
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                        # (block_q, T)
-    scores = scores + (maskf - 1.0) * 1e9            # maskf: (1, T)
+    scores = scores + (maskf - 1.0) * 1e9            # masked keys -> -1e9
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
     p = (e / s).astype(v.dtype)
-    return jax.lax.dot_general(
+    ctx = jax.lax.dot_general(
         p, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_dtype)
+    lse = (m + jnp.log(s))[:, 0]                     # (block_q,)
+    return ctx, lse
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_attention(q, k, v, mask=None, *, block_q=256, block_k=None):
-    """Fused attention (differentiable — custom VJP).
+    """Fused attention (differentiable — Pallas forward AND backward).
 
     Args:
         q: (B, H, T, D)
@@ -65,71 +73,52 @@ def flash_attention(q, k, v, mask=None, *, block_q=256, block_k=None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_attention_vjp(q, k, v, mask, block_q):
-    return _flash_attention_fwd_impl(q, k, v, mask, block_q)
+    out, _ = _flash_attention_fwd_impl(q, k, v, mask, block_q)
+    return out
 
 
 def _flash_fwd_rule(q, k, v, mask, block_q):
-    out = _flash_attention_fwd_impl(q, k, v, mask, block_q)
-    return out, (q, k, v, mask)
+    out, lse = _flash_attention_fwd_impl(q, k, v, mask, block_q)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_bwd_rule(block_q, residuals, g):
-    q, k, v, mask = residuals
-    B, H, T, D = q.shape
-    Kh = k.shape[1]
-    scale = 1.0 / math.sqrt(D)
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    if Kh != H:
-        kf = jnp.broadcast_to(kf, (B, H, T, D))
-        vf = jnp.broadcast_to(vf, (B, H, T, D))
-    scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf,
-                        preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        scores = jnp.where(mask[:, None, None, :], scores, -1e9)
-    p = jax.nn.softmax(scores, axis=-1)
-    gf = g.astype(jnp.float32)
-    dv = jnp.einsum("bhts,bhtd->bhsd", p, gf,
-                    preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bhtd,bhsd->bhts", gf, vf,
-                    preferred_element_type=jnp.float32)
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale
-    dq = jnp.einsum("bhts,bhsd->bhtd", ds, kf,
-                    preferred_element_type=jnp.float32)
-    dk = jnp.einsum("bhts,bhtd->bhsd", ds, qf,
-                    preferred_element_type=jnp.float32)
-    if Kh != H:  # fold gradients of the broadcast KV head
-        dk = jnp.sum(dk, axis=1, keepdims=True)
-        dv = jnp.sum(dv, axis=1, keepdims=True)
-    dmask = None
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dmask)
+    q, k, v, mask, out, lse = residuals
+    dq, dk, dv = _flash_attention_bwd_impl(q, k, v, mask, out, lse, g,
+                                           block_q)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
 
 
 _flash_attention_vjp.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+def _maskf_of(mask, B, T):
+    if mask is None:
+        return jnp.ones((B, 1, T), dtype=jnp.float32)
+    return mask.astype(jnp.float32)[:, None, :]
+
+
 def _flash_attention_fwd_impl(q, k, v, mask, block_q):
+    """Returns (out (B,H,T,D) fp32, lse) — lse layout is (B, H*T) for MQA
+    (folded rows) or (B, H, T) for MHA."""
     B, H, T, D = q.shape
     Kh = k.shape[1]
     scale = 1.0 / math.sqrt(D)
-
-    if mask is None:
-        maskf = jnp.ones((B, 1, T), dtype=jnp.float32)
-    else:
-        maskf = mask.astype(jnp.float32)[:, None, :]
+    maskf = _maskf_of(mask, B, T)
 
     if Kh == 1:
         # Fold heads into rows: (B, H*T, D); all rows share the one KV head.
-        qf = q.reshape(B, H * T, D)
-        grid = (B, pl.cdiv(H * T, block_q))
+        N = H * T
+        qf = q.reshape(B, N, D)
+        grid = (B, pl.cdiv(N, block_q))
 
-        def kernel(q_r, k_r, v_r, m_r, o_r):
-            o_r[0] = _attend(q_r[0], k_r[0, 0], v_r[0, 0], m_r[0],
-                             scale, o_r.dtype)
+        def kernel(q_r, k_r, v_r, m_r, o_r, lse_r):
+            ctx, lse = _attend(q_r[0], k_r[0, 0], v_r[0, 0], m_r[0],
+                               scale, o_r.dtype)
+            o_r[0] = ctx
+            lse_r[0] = lse
 
-        out = pl.pallas_call(
+        out, lse = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -142,20 +131,29 @@ def _flash_attention_fwd_impl(q, k, v, mask, block_q):
                 pl.BlockSpec((1, 1, T), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, H * T, D), jnp.float32),
+            out_specs=[
+                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, N, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, N), jnp.float32),
+            ],
         )(qf, k, v, maskf)
-        return out.reshape(B, H, T, D)
+        return out.reshape(B, H, T, D), lse
 
     # MHA: per-head KV.
     grid = (B, H, pl.cdiv(T, block_q))
 
-    def kernel(q_r, k_r, v_r, m_r, o_r):
-        o_r[0, 0] = _attend(q_r[0, 0], k_r[0, 0], v_r[0, 0], m_r[0],
-                            scale, o_r.dtype)
+    def kernel(q_r, k_r, v_r, m_r, o_r, lse_r):
+        ctx, lse = _attend(q_r[0, 0], k_r[0, 0], v_r[0, 0], m_r[0],
+                           scale, o_r.dtype)
+        o_r[0, 0] = ctx
+        lse_r[0, 0] = lse
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -168,8 +166,190 @@ def _flash_attention_fwd_impl(q, k, v, mask, block_q):
             pl.BlockSpec((1, 1, T), lambda b, h, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+        ],
     )(q, k, v, maskf)
-    return out
+    return out, lse
+
+
+def _bwd_tile(qb, gb, lseb, deltab, kf, vf, mf, rowmaskb, scale):
+    """Shared per-tile backward math (fp32 in VMEM).
+
+    Args:
+        qb, gb: (bq, D) q tile / dout tile
+        lseb, deltab: (bq,) saved logsumexp / rowsum(dout*out)
+        kf, vf: (T, D)
+        mf: (1, T) key validity {0,1}
+        rowmaskb: (bq, 1) bool — rows beyond N in a partial tile
+    Returns:
+        (dq (bq, D), dk_c (T, D), dv_c (T, D)) — dk/dv contributions.
+    """
+    # OOB rows of a partial tile hold unspecified values (NaN in interpret
+    # mode); they contract into dk/dv below even with zero weights
+    # (0 * NaN = NaN), so zero them at the source.
+    qb = jnp.where(rowmaskb, qb, 0.0)
+    gb = jnp.where(rowmaskb, gb, 0.0)
+    s = jax.lax.dot_general(
+        qb, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + (mf - 1.0) * 1e9                      # (bq, T)
+    # Garbage rows of a partial tile must not poison dk/dv: force their
+    # probabilities to exactly zero (exp(-1e9 - lse) could be inf*0=nan if
+    # lse itself is garbage, so mask before the exp).
+    s = jnp.where(rowmaskb, s - lseb[:, None], NEG)
+    p = jnp.exp(s)                                    # (bq, T)
+    dp = jax.lax.dot_general(
+        gb, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (bq, T)
+    ds = p * (dp - deltab[:, None]) * scale
+    ds = jnp.where(rowmaskb, ds, 0.0)
+    dq = jax.lax.dot_general(
+        ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (bq, D)
+    dk_c = jax.lax.dot_general(
+        ds, qb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (T, D)
+    dv_c = jax.lax.dot_general(
+        p, gb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (T, D)
+    return dq, dk_c, dv_c
+
+
+def _flash_attention_bwd_impl(q, k, v, mask, out, lse, g, block_q):
+    B, H, T, D = q.shape
+    Kh = k.shape[1]
+    scale = 1.0 / math.sqrt(D)
+    maskf = _maskf_of(mask, B, T)
+    gf = g.astype(jnp.float32)
+    delta = jnp.sum(gf * out, axis=-1)                # (B, H, T)
+
+    if Kh == 1:
+        N = H * T
+        qf = q.reshape(B, N, D)
+        gn = gf.reshape(B, N, D)
+        deltan = delta.reshape(B, N)
+        nq = pl.cdiv(N, block_q)
+
+        def kernel(q_r, g_r, lse_r, d_r, k_r, v_r, m_r,
+                   dq_r, dk_r, dv_r):
+            i = pl.program_id(1)
+            rows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0)
+            rowmaskb = rows < N
+            dq, dk_c, dv_c = _bwd_tile(
+                q_r[0].astype(jnp.float32), g_r[0], lse_r[0], d_r[0],
+                k_r[0, 0].astype(jnp.float32), v_r[0, 0].astype(jnp.float32),
+                m_r[0], rowmaskb, scale)
+            dq_r[0] = dq
+
+            @pl.when(i == 0)
+            def _init():
+                dk_r[0] = jnp.zeros_like(dk_r[0])
+                dv_r[0] = jnp.zeros_like(dv_r[0])
+
+            dk_r[0] += dk_c
+            dv_r[0] += dv_c
+
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            grid=(B, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, T, D), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, T, D), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, T), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, N, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+            ],
+        )(qf, gn, lse, deltan, k, v, maskf)
+        return dq.reshape(B, H, T, D), dk[:, None], dv[:, None]
+
+    # MHA: per-head KV; dk/dv accumulate across q tiles per (b, h).
+    nq = pl.cdiv(T, block_q)
+
+    def kernel(q_r, g_r, lse_r, d_r, k_r, v_r, m_r, dq_r, dk_r, dv_r):
+        i = pl.program_id(2)
+        rows = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        rowmaskb = rows < T
+        dq, dk_c, dv_c = _bwd_tile(
+            q_r[0, 0].astype(jnp.float32), g_r[0, 0], lse_r[0, 0], d_r[0, 0],
+            k_r[0, 0].astype(jnp.float32), v_r[0, 0].astype(jnp.float32),
+            m_r[0], rowmaskb, scale)
+        dq_r[0, 0] = dq
+
+        @pl.when(i == 0)
+        def _init():
+            dk_r[0, 0] = jnp.zeros_like(dk_r[0, 0])
+            dv_r[0, 0] = jnp.zeros_like(dv_r[0, 0])
+
+        dk_r[0, 0] += dk_c
+        dv_r[0, 0] += dv_c
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, H, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b, h, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+        ],
+    )(q, gf, lse, delta, k, v, maskf)
+    return dq, dk, dv

@@ -172,6 +172,8 @@ def parse_multipart(body, content_type):
 
 def build_fastapi_app(service):
     """FastAPI app with the reference's exact endpoint surface."""
+    from typing import List
+
     from fastapi import FastAPI, File, UploadFile, HTTPException
 
     app = FastAPI(title="Turkish ASR API",
@@ -192,7 +194,7 @@ def build_fastapi_app(service):
         return payload
 
     @app.post("/transcribe/batch")
-    async def transcribe_batch(files: list = File(...)):
+    async def transcribe_batch(files: List[UploadFile] = File(...)):
         uploads = [(f.filename, await f.read()) for f in files]
         status, payload = service.transcribe_batch(uploads)
         if status != 200:

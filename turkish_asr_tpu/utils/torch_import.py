@@ -101,15 +101,31 @@ def import_torch_state_dict(state_dict, n_blocks):
     return params, state
 
 
-def infer_arch_from_state_dict(state_dict):
+def infer_arch_from_state_dict(state_dict, n_mels=None):
     """(n_mels, d_model, n_heads?, n_blocks, n_classes) from tensor shapes.
 
     n_heads is not recoverable from shapes alone (MQA stores one shared
-    head); returns None for it.
+    head); returns None for it. The input_proj shape only pins
+    ``n_mels // 4`` (reference conformer.py:157), so an explicit ``n_mels``
+    (e.g. from the checkpoint's embedded config) takes precedence; it is
+    validated against the flattened dim and a mismatch raises rather than
+    silently misaligning features.
     """
     d_model = _t(state_dict, "subsample.0.weight").shape[0]
     flattened = _t(state_dict, "input_proj.weight").shape[1]
-    n_mels = flattened // d_model * 4
+    if flattened % d_model != 0:
+        raise ValueError(
+            f"input_proj in-dim {flattened} is not a multiple of "
+            f"d_model {d_model}; not a reference-shaped checkpoint")
+    mels_div4 = flattened // d_model
+    if n_mels is not None:
+        if int(n_mels) // 4 != mels_div4:
+            raise ValueError(
+                f"checkpoint config says n_mel_channels={n_mels} but "
+                f"input_proj implies n_mels//4 == {mels_div4}")
+        n_mels = int(n_mels)
+    else:
+        n_mels = mels_div4 * 4
     n_classes = _t(state_dict, "fc.weight").shape[0]
     n_blocks = 0
     while f"blocks.{n_blocks}.ff1.linear1.weight" in state_dict:
@@ -117,24 +133,37 @@ def infer_arch_from_state_dict(state_dict):
     return n_mels, d_model, None, n_blocks, n_classes
 
 
-def load_torch_checkpoint(path, n_heads=4):
+def load_torch_checkpoint(path, n_heads=4, allow_pickle=False):
     """Load a reference ``.pt`` checkpoint file -> (cfg, params, state).
 
     Accepts either a full training checkpoint (``model_state_dict`` inside)
     or a bare state dict — the reference's own loading contract
-    (inference.py:93-98).
+    (inference.py:93-98). Loads with ``weights_only=True`` (no arbitrary
+    pickle execution); pass ``allow_pickle=True`` to opt into full
+    unpickling for trusted checkpoints that older torch saved with
+    non-tensor payloads.
     """
     import torch
     from turkish_asr_tpu.models.conformer import ModelConfig
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
-    # Full reference checkpoints embed vars(config) incl. n_heads
-    # (reference trainer.py:97) — heads are not recoverable from MQA
-    # weight shapes, so prefer the stored value over the argument.
+    # Full reference checkpoints embed vars(config) incl. n_heads and
+    # n_mel_channels (reference trainer.py:97) — heads are not recoverable
+    # from MQA weight shapes and mels are only pinned modulo //4, so prefer
+    # the stored values over arguments/inference.
+    stored_mels = None
     if isinstance(blob, dict):
         stored = blob.get("config") or {}
         n_heads = int(stored.get("n_heads", n_heads))
-    n_mels, d_model, _, n_blocks, n_classes = infer_arch_from_state_dict(sd)
+        if stored.get("n_mel_channels") is not None:
+            stored_mels = int(stored["n_mel_channels"])
+    n_mels, d_model, _, n_blocks, n_classes = infer_arch_from_state_dict(
+        sd, n_mels=stored_mels)
     params, state = import_torch_state_dict(sd, n_blocks)
     cfg = ModelConfig(n_mels=n_mels, d_model=d_model, n_heads=n_heads,
                       n_blocks=n_blocks, n_classes=n_classes, dropout=0.0)
