@@ -5,7 +5,11 @@ Run on the real TPU chip. Methodology per AGENTS.md: warm compile first,
 force a host sync via float() per iteration batch, median of repeats.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -16,17 +20,31 @@ from turkish_asr_tpu.models.conformer import (
 from turkish_asr_tpu.utils.runtime import enable_compilation_cache
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # sync once per call chain: sum-reduce to scalar and pull to host
+INNER = 30  # iterations chained inside one jit to amortize tunnel latency
+
+
+def timeit(fn, *args, repeats=5):
+    """Median per-iteration ms. The remote-TPU tunnel costs ~30 ms per host
+    sync, so each timed call runs INNER chained iterations of ``fn`` inside a
+    single jit (carry-dependent so XLA can't dedupe) and divides by INNER.
+    """
+    first = args[-1]
+
+    @jax.jit
+    def looped(*a):
+        def body(i, acc):
+            out = fn(*a[:-1], a[-1] + acc * 0)
+            out = out[0] if isinstance(out, tuple) else out
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9
+        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0))
+
+    s = float(looped(*args))  # compile + warm
     best = []
-    for _ in range(iters):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        s = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+        s = float(looped(*args))
         best.append(time.perf_counter() - t0)
-    return float(np.median(best)) * 1e3, s
+    return float(np.median(best)) * 1e3 / INNER, s
 
 
 def main():

@@ -206,58 +206,44 @@ def log_mel_spectrogram(
     fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max))
     n_bins = n_fft // 2 + 1
 
-    if use_kernel is None:
-        # Measured on v5e: XLA's fused jnp path beats the Pallas kernel at
-        # this op mix (the kernel pays a 1.9x zero-pad FLOPs tax for
-        # Mosaic's 128-lane DMA alignment and runs its tile DMAs
-        # unpipelined) — 5.8ms vs 9.0ms at B=128x8s. Kernel stays opt-in.
-        use_kernel = False
-
-    if use_kernel and S > n_fft:
-        # Fused Pallas kernel: framing + DFT + power + mel + log10 in one
-        # VMEM pass per tile (ops/mel_kernel.py).
-        from turkish_asr_tpu.ops.mel_kernel import fused_log_mel
-        block_t = 256
-        tiles = -(-n_frames // block_t)
-        n_chunks = -(-n_fft // hop_length)
-        span_hops = -(-(block_t + n_chunks) // 8) * 8
-        needed = ((tiles - 1) * block_t + span_hops) * hop_length
-        buf = _reflect_padded(x, lengths, n_frames, n_fft, hop_length,
-                              min_len=needed)
-        log_mel = fused_log_mel(buf, n_frames=n_frames, n_fft=n_fft,
-                                hop=hop_length, win_length=win_length,
-                                n_mels=n_mels, fb=fb, block_t=block_t)
+    # `use_kernel` is a retired knob kept for API stability: a fused Pallas
+    # mel kernel (framing + DFT + power + mel + log in one VMEM pass) was
+    # built and measured on real TPU, and XLA's fused jnp path beat it
+    # (5.8 ms vs 9.0 ms at B=128x8s — the kernel paid a 1.9x zero-pad FLOPs
+    # tax for Mosaic's 128-lane DMA alignment). The kernel was removed
+    # rather than shipped as known-slower dead code; see AGENTS.md
+    # "Pallas findings" for the measurement record.
+    del use_kernel
+    if S > n_fft:
+        frames = _frames_via_reshape(x, lengths, n_frames, n_fft,
+                                     hop_length)
     else:
-        if S > n_fft:
-            frames = _frames_via_reshape(x, lengths, n_frames, n_fft,
-                                         hop_length)
+        # Degenerate tiny inputs (< n_fft samples): gather fallback.
+        # Applies ONE reflection fold each side then clamps to the
+        # edge — inputs shorter than n_fft//2 would need multiple
+        # folds (torchaudio refuses such inputs outright; we return
+        # edge-clamped frames instead of raising).
+        idx = _frame_indices_reflect(n_frames, S, lengths, n_fft,
+                                     hop_length)
+        if idx.ndim == 2:
+            frames = x[:, idx]                          # (B, T, n_fft)
         else:
-            # Degenerate tiny inputs (< n_fft samples): gather fallback.
-            # Applies ONE reflection fold each side then clamps to the
-            # edge — inputs shorter than n_fft//2 would need multiple
-            # folds (torchaudio refuses such inputs outright; we return
-            # edge-clamped frames instead of raising).
-            idx = _frame_indices_reflect(n_frames, S, lengths, n_fft,
-                                         hop_length)
-            if idx.ndim == 2:
-                frames = x[:, idx]                          # (B, T, n_fft)
-            else:
-                flat = idx.reshape(B, -1)
-                frames = jnp.take_along_axis(x, flat, axis=1).reshape(
-                    B, n_frames, n_fft)
+            flat = idx.reshape(B, -1)
+            frames = jnp.take_along_axis(x, flat, axis=1).reshape(
+                B, n_frames, n_fft)
 
-        # precision='highest': on TPU the default f32 matmul uses bf16 MXU
-        # passes; log10 amplifies relative error on low-energy bins, so the
-        # (tiny) front-end matmuls run at full fp32 MXU precision.
-        spec = jnp.dot(frames, dft, precision="highest",
-                       preferred_element_type=jnp.float32)
-        power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
-        mel = jnp.dot(power, fb, precision="highest",
-                      preferred_element_type=jnp.float32)  # (B, T, n_mels)
+    # precision='highest': on TPU the default f32 matmul uses bf16 MXU
+    # passes; log10 amplifies relative error on low-energy bins, so the
+    # (tiny) front-end matmuls run at full fp32 MXU precision.
+    spec = jnp.dot(frames, dft, precision="highest",
+                   preferred_element_type=jnp.float32)
+    power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
+    mel = jnp.dot(power, fb, precision="highest",
+                  preferred_element_type=jnp.float32)  # (B, T, n_mels)
 
-        # AmplitudeToDB(stype="power", top_db): 10*log10(clamp(x, 1e-10)),
-        # clamped from below at per-utterance max - top_db.
-        log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    # AmplitudeToDB(stype="power", top_db): 10*log10(clamp(x, 1e-10)),
+    # clamped from below at per-utterance max - top_db.
+    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
 
     if lengths is not None:
         frame_lengths = 1 + lengths // hop_length
