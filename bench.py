@@ -1,18 +1,34 @@
-"""Benchmark: batched greedy-decode inference RTFx on the flagship model.
+"""Benchmarks: all five BASELINE.json workload configs + MFU.
 
-Workload (BASELINE.json config 5-flavored): batched transcription —
-padded waveform batch -> on-device log-mel -> Conformer forward (bf16) ->
-on-device greedy CTC collapse -> packed ids to host.
+Prints one JSON line per workload config as it completes, then the
+HEADLINE line last (the driver parses the final line):
 
-Prints ONE JSON line:
     {"metric": "rtfx_greedy_batch", "value": N,
-     "unit": "audio_sec/sec/chip", "vs_baseline": R}
+     "unit": "audio_sec/sec/chip", "vs_baseline": R, "mfu": M, ...}
+
+Configs (BASELINE.json:6-12):
+  1 rtfx_greedy_single      single 16 kHz wav greedy inference (B=1)
+  2 train_step_ms_b8        CTC training step, batch 8, no augmentation
+  3 train_step_ms_b32_aug   augmented training step, batch 32, accum 4
+  4 rtfx_beam16_arpa        batched beam-16 with ARPA LM fusion on device
+  5 rtfx_longform_l         Conformer-L (512d/8h/16blk) long-form batches
+  H rtfx_greedy_batch       batched greedy (headline; B=128 x 8 s)
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), and its
 torchaudio/CUDA stack cannot run in this image, so the baseline is the
 closest executable proxy: the same Conformer architecture implemented with
 stock torch.nn modules, run on CPU over identical precomputed features
 (measured once, cached in baseline_measured.json).
+
+MFU: analytic forward FLOPs (conv/attention/FFN matmuls, 2*M*N*K) over
+elapsed time, against the chip's bf16 peak — an estimate (the mel
+front-end runs fp32-highest and is counted at bf16 peak).
+
+Timing methodology: ITERS pipeline executions inside ONE jitted lax.scan
+with a forced data dependency between iterations — a single dispatch and a
+single final sync, immune to async-dispatch/dedup artifacts of remote TPU
+tunnels. Train steps (donated buffers can't ride a scan) thread state
+through an eager loop and sync once at the end.
 """
 
 import json
@@ -29,23 +45,107 @@ BASELINE_BATCH = 16  # torch-CPU proxy saturates its threads at small batch
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "baseline_measured.json")
 
+# bf16 peak matmul throughput by device_kind (FLOP/s)
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def bench_tpu():
+
+def _emit(metric, value, unit, **extra):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+    return line
+
+
+def _peak_flops():
+    import jax
+    kind = jax.devices()[0].device_kind
+    return _PEAK_FLOPS.get(kind), kind
+
+
+def model_forward_flops(cfg, seconds):
+    """Analytic matmul FLOPs for one utterance forward (2*M*N*K terms)."""
+    T = int(1 + seconds * SR / 160)      # mel frames
+    F, d, L = cfg.n_mels, cfg.d_model, cfg.n_blocks
+    T2, T4 = T // 2, T // 4
+    F2, F4 = F // 2, F // 4
+    dh = d // cfg.n_heads
+    fl = 0
+    # mel front-end: frames (T, n_fft) x DFT (n_fft, 2*bins) + mel proj
+    n_fft, n_bins = 400, 201
+    fl += 2 * T * n_fft * 2 * n_bins + 2 * T * n_bins * F
+    # subsample convs + input proj
+    fl += 2 * T2 * F2 * 9 * cfg.d_model            # conv1 (C_in=1)
+    fl += 2 * T4 * F4 * 9 * d * d                  # conv2
+    fl += 2 * T4 * (F4 * d) * d                    # input projection
+    # conformer blocks
+    per_ff = 2 * (T4 * d * 8 * d) + 2 * (T4 * 4 * d * d)   # SwiGLU in+out
+    attn = (2 * T4 * d * d                      # q proj
+            + 2 * 2 * T4 * d * dh               # k/v proj (MQA single head)
+            + 2 * 2 * T4 * T4 * d               # scores + context
+            + 2 * T4 * d * d)                   # out proj
+    conv = (2 * T4 * d * 2 * d                  # pw1
+            + 2 * T4 * 31 * d                   # depthwise k=31
+            + 2 * T4 * d * d)                   # pw2
+    fl += L * (2 * per_ff + attn + conv)
+    fl += 2 * T4 * d * cfg.n_classes            # classifier head
+    return fl
+
+
+def _chained_timer(pipeline, pstate, waveforms, wav_lengths, iters):
+    """Median sec/iter: `iters` executions in one jitted scan, 3 trials.
+
+    ``pstate`` (params/state pytree) rides as an explicit jit argument:
+    closing over large param trees bakes them into the jaxpr consts, and
+    a Conformer-L-sized constant blob overflows the remote-compile
+    tunnel's request-size limit (HTTP 413).
+    """
     import jax
     import jax.numpy as jnp
-    from turkish_asr_tpu.utils.runtime import enable_compilation_cache
-    enable_compilation_cache()
-    from turkish_asr_tpu.models.conformer import init_model, apply_model
+
+    @jax.jit
+    def chained(pstate, waveforms, wav_lengths):
+        def body(carry, _):
+            out = pipeline(pstate, carry, wav_lengths)
+            probe = out[1].sum() if isinstance(out, tuple) else out.sum()
+            nxt = carry + probe.astype(jnp.float32) * 1e-30
+            return nxt, probe
+        _, sums = jax.lax.scan(body, waveforms, None, length=iters)
+        return sums
+
+    # Sync via a host FETCH of the (iters,) probe vector, not
+    # block_until_ready: over the axon tunnel block_until_ready has been
+    # observed to return early (microsecond "timings" for quarter-second
+    # computations), while a fetch cannot complete before the data
+    # exists. The fetch adds one ~30 ms tunnel RTT per trial, amortized
+    # over iters (conservative: reported RTFx is slightly understated).
+    np.asarray(chained(pstate, waveforms, wav_lengths))  # compile + warm
+    trials = []
+    for _ in range(3):
+        start = time.perf_counter()
+        np.asarray(chained(pstate, waveforms, wav_lengths))
+        trials.append(time.perf_counter() - start)
+    return float(np.median(trials)) / iters
+
+
+def _make_pipeline(cfg, attn_kernel, decode="greedy",
+                   lm_tables=None, beam_width=16):
+    import jax
+    import jax.numpy as jnp
+    from turkish_asr_tpu.models.conformer import apply_model
     from turkish_asr_tpu.audio.features import log_mel_spectrogram
     from turkish_asr_tpu.decode.greedy import greedy_collapse_batch
-    from __graft_entry__ import _flagship_cfg
+    from turkish_asr_tpu.ops.beam_search import ctc_beam_search
 
-    cfg = _flagship_cfg()
-    params, state = init_model(jax.random.PRNGKey(0), cfg)
-    from turkish_asr_tpu.ops.flash_attention import make_flash_attention
-    attn_kernel = make_flash_attention()
-
-    def pipeline(waveforms, wav_lengths):
+    def pipeline(pstate, waveforms, wav_lengths):
+        params, state = pstate
         feats, frame_lengths = log_mel_spectrogram(
             waveforms, wav_lengths, n_mels=cfg.n_mels)
         logits, _ = apply_model(params, state, feats, frame_lengths,
@@ -53,38 +153,222 @@ def bench_tpu():
                                 compute_dtype=jnp.bfloat16,
                                 attn_kernel=attn_kernel)
         out_lengths = frame_lengths // 4
-        ids, counts = greedy_collapse_batch(logits, out_lengths, blank_id=0)
+        if decode == "greedy":
+            ids, counts = greedy_collapse_batch(logits, out_lengths,
+                                                blank_id=0)
+        else:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            kw = {}
+            if lm_tables is not None:
+                kw = {"lm_tables": (lm_tables[0], lm_tables[1]),
+                      "lm_start_state": int(lm_tables[2])}
+            ids, counts = ctc_beam_search(
+                lp, out_lengths, beam_width=beam_width, blank_id=0,
+                max_prefix_len=min(lp.shape[1], 512), **kw)
         return ids, counts
 
-    # Timing methodology: ITERS pipeline executions inside ONE jitted
-    # lax.scan with a forced data dependency between iterations. This
-    # serializes the work on-device and needs a single dispatch + a single
-    # final sync — immune to async-dispatch/dedup artifacts of remote TPU
-    # tunnels (validated against a distinct-inputs method; both agree).
-    @jax.jit
-    def chained(waveforms, wav_lengths):
-        def body(carry, _):
-            ids, counts = pipeline(carry, wav_lengths)
-            nxt = carry + counts.sum().astype(jnp.float32) * 1e-30
-            return nxt, counts.sum()
-        _, sums = jax.lax.scan(body, waveforms, None, length=ITERS)
-        return sums
+    return pipeline
+
+
+def _waves(batch, seconds, seed=0):
+    import jax.numpy as jnp
+    S = int(seconds * SR)
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray((rng.standard_normal((batch, S)) * 0.1)
+                    .astype(np.float32))
+    n = jnp.full((batch,), S, dtype=jnp.int32)
+    return w, n
+
+
+def _flagship():
+    import jax
+    from turkish_asr_tpu.models.conformer import init_model
+    from __graft_entry__ import _flagship_cfg
+    cfg = _flagship_cfg()
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    return cfg, params, state
+
+
+def bench_greedy_headline():
+    from turkish_asr_tpu.ops.flash_attention import make_flash_attention
+    cfg, params, state = _flagship()
+    pipeline = _make_pipeline(cfg, make_flash_attention())
+    w, n = _waves(BATCH, SECONDS)
+    sec = _chained_timer(pipeline, (params, state), w, n, ITERS)
+    rtfx = BATCH * SECONDS / sec
+    peak, kind = _peak_flops()
+    flops = model_forward_flops(cfg, SECONDS) * BATCH
+    mfu = (flops / sec / peak) if peak else None
+    return rtfx, mfu, kind
+
+
+def bench_greedy_single():
+    from turkish_asr_tpu.ops.flash_attention import make_flash_attention
+    cfg, params, state = _flagship()
+    pipeline = _make_pipeline(cfg, make_flash_attention())
+    w, n = _waves(1, SECONDS)
+    sec = _chained_timer(pipeline, (params, state), w, n, 20)
+    _emit("rtfx_greedy_single", SECONDS / sec, "audio_sec/sec/chip",
+          config=1, latency_ms=round(sec * 1e3, 2))
+
+
+def _synthetic_arpa(tokenizer, path):
+    """Char-level trigram ARPA over the tokenizer's vocab (synthetic —
+    the image ships no Turkish corpus; table shapes/costs are identical)."""
+    rng = np.random.default_rng(0)
+    toks = [tokenizer.decode([v]).strip() or f"tk{v}"
+            for v in range(2, min(tokenizer.vocab_size, 40))]
+    uni = [(t, float(-1 - rng.random())) for t in toks]
+    bi, tri = [], []
+    for _ in range(400):
+        a, b = rng.choice(toks, 2)
+        bi.append(((a, b), float(-rng.random())))
+    for _ in range(600):
+        a, b, c = rng.choice(toks, 3)
+        tri.append(((a, b, c), float(-rng.random())))
+    with open(path, "w") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(uni) + 3}\nngram 2={len(bi)}\n"
+                f"ngram 3={len(tri)}\n\n\\1-grams:\n")
+        f.write("-1.5\t<unk>\t-0.3\n-1.0\t<s>\t-0.4\n-1.2\t</s>\n")
+        for t, lp in uni:
+            f.write(f"{lp:.4f}\t{t}\t-0.3\n")
+        f.write("\n\\2-grams:\n")
+        for (a, b), lp in {k: v for k, v in bi}.items():
+            f.write(f"{lp:.4f}\t{a} {b}\t-0.2\n")
+        f.write("\n\\3-grams:\n")
+        for (a, b, c), lp in {k: v for k, v in tri}.items():
+            f.write(f"{lp:.4f}\t{a} {b} {c}\n")
+        f.write("\n\\end\\\n")
+
+
+def bench_beam_arpa():
+    import jax.numpy as jnp
+    from turkish_asr_tpu.ops.flash_attention import make_flash_attention
+    from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+    from turkish_asr_tpu.decode.lm import (
+        ArpaLanguageModel, build_arpa_fusion_tables)
+
+    tokenizer = TurkishTokenizer()
+    cfg, params, state = _flagship()
+    arpa_path = "/tmp/bench_lm.arpa"
+    _synthetic_arpa(tokenizer, arpa_path)
+    model = ArpaLanguageModel(arpa_path)
+    tables = build_arpa_fusion_tables(model, tokenizer, cfg.n_classes)
+    tables = (jnp.asarray(tables[0]), jnp.asarray(tables[1]), tables[2])
+
+    pipeline = _make_pipeline(cfg, make_flash_attention(),
+                              decode="beam", lm_tables=tables, beam_width=16)
+    w, n = _waves(BATCH, SECONDS)
+    sec = _chained_timer(pipeline, (params, state), w, n, 3)
+    rtfx = BATCH * SECONDS / sec
+
+    # Host-path comparison: the reference's sequential Python prefix beam
+    # with per-extension LM queries, one utterance, same T/V/beam.
+    import jax
+    from turkish_asr_tpu.decode.beam import CTCBeamDecoder
+    from turkish_asr_tpu.models.conformer import apply_model
+    from turkish_asr_tpu.audio.features import log_mel_spectrogram
+
+    feats, fl = log_mel_spectrogram(w[:1], n[:1], n_mels=cfg.n_mels)
+    logits, _ = apply_model(params, state, feats, fl, cfg=cfg, train=False,
+                            compute_dtype=jnp.bfloat16)
+    logits = np.asarray(logits[0], dtype=np.float32)
+    host = CTCBeamDecoder(tokenizer, beam_width=16, lm=model, lm_weight=0.3)
+    start = time.perf_counter()
+    host.decode(logits)
+    host_sec = time.perf_counter() - start
+    host_rtfx = SECONDS / host_sec
+    _emit("rtfx_beam16_arpa", rtfx, "audio_sec/sec/chip", config=4,
+          lm_states=int(tables[0].shape[0]),
+          host_beam_rtfx=round(host_rtfx, 2),
+          vs_host_beam=round(rtfx / host_rtfx, 1))
+
+
+def bench_longform_conformer_l():
+    import jax
+    from turkish_asr_tpu.models.conformer import init_model
+    from turkish_asr_tpu.ops.flash_attention import make_flash_attention
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg(d_model=512, n_heads=8, n_blocks=16)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    B, seconds = 16, 64.0   # T' = 1600 post-subsample: flash kernel engages
+    w, n = _waves(B, seconds)
+
+    sec_on = _chained_timer(
+        _make_pipeline(cfg, make_flash_attention()), (params, state), w, n, 3)
+    sec_off = _chained_timer(
+        _make_pipeline(cfg, None), (params, state), w, n, 3)
+    rtfx = B * seconds / sec_on
+    peak, _ = _peak_flops()
+    flops = model_forward_flops(cfg, seconds) * B
+    _emit("rtfx_longform_conformer_l", rtfx, "audio_sec/sec/chip", config=5,
+          kernel_off_rtfx=round(B * seconds / sec_off, 2),
+          flash_kernel_speedup=round(sec_off / sec_on, 3),
+          mfu=round(flops / sec_on / peak, 4) if peak else None)
+
+
+def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10):
+    import jax
+    import jax.numpy as jnp
+    from turkish_asr_tpu.models.conformer import init_model
+    from turkish_asr_tpu.train.optim import make_optimizer
+    from turkish_asr_tpu.train.trainer import Trainer
+    from turkish_asr_tpu.utils.config import get_config
+    from turkish_asr_tpu.utils.logger import get_logger
+    from turkish_asr_tpu.parallel.mesh import make_mesh, shard_batch
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    params, model_state = init_model(jax.random.PRNGKey(0), cfg)
+    tx, schedule = make_optimizer(5e-4, 1e-6, total_steps=1000,
+                                  accumulation_steps=accumulation_steps)
+    mesh = make_mesh(f"data={len(jax.devices())}")
+    trainer = Trainer(
+        model_cfg=cfg, params=params, model_state=model_state,
+        optimizer=tx, schedule=schedule, config=get_config([]),
+        logger=get_logger("bench", log_file="/tmp/bench_train.log"),
+        mesh=mesh, accumulation_steps=accumulation_steps,
+        compute_dtype=jnp.bfloat16, augment=augment)
 
     S = int(SECONDS * SR)
     rng = np.random.default_rng(0)
-    waveforms = jnp.asarray((rng.standard_normal((BATCH, S)) * 0.1)
-                            .astype(np.float32))
-    wav_lengths = jnp.full((BATCH,), S, dtype=jnp.int32)
-
-    # warmup / compile
-    jax.block_until_ready(chained(waveforms, wav_lengths))
-
+    batch = shard_batch(mesh, {
+        "waveforms": (rng.standard_normal((batch_size, S)) * 0.1)
+        .astype(np.float32),
+        "wav_lengths": np.full((batch_size,), S, dtype=np.int32),
+        "targets": rng.integers(2, cfg.n_classes, (batch_size, 64))
+        .astype(np.int32),
+        "target_lengths": np.full((batch_size,), 64, dtype=np.int32),
+        "sample_mask": np.ones((batch_size,), dtype=np.float32),
+    })
+    p, ms, opt = trainer.params, trainer.model_state, trainer.opt_state
+    key = jax.random.PRNGKey(0)
+    # donated buffers can't ride a scan: thread state through an eager
+    # loop (async dispatch pipelines the steps), sync once at the end
+    for _ in range(2):  # compile + deferred warmup
+        p, ms, opt, loss = trainer._train_step(p, ms, opt, batch, key)
+    jax.block_until_ready(loss)
     start = time.perf_counter()
-    jax.block_until_ready(chained(waveforms, wav_lengths))
-    elapsed = time.perf_counter() - start
+    for _ in range(n_steps):
+        p, ms, opt, loss = trainer._train_step(p, ms, opt, batch, key)
+    jax.block_until_ready(loss)
+    sec = (time.perf_counter() - start) / n_steps
+    return sec
 
-    audio_sec = ITERS * BATCH * SECONDS
-    return audio_sec / elapsed
+
+def bench_train_small():
+    sec = _train_step_ms(8, augment=False, accumulation_steps=1)
+    _emit("train_step_ms_b8", sec * 1e3, "ms/step", config=2,
+          audio_sec_per_sec=round(8 * SECONDS / sec, 2))
+
+
+def bench_train_aug():
+    sec = _train_step_ms(32, augment=True, accumulation_steps=4)
+    _emit("train_step_ms_b32_aug", sec * 1e3, "ms/microstep", config=3,
+          accumulation_steps=4,
+          audio_sec_per_sec=round(32 * SECONDS / sec, 2))
 
 
 def bench_torch_baseline():
@@ -171,15 +455,24 @@ def bench_torch_baseline():
 
 
 def main():
-    rtfx = bench_tpu()
+    from turkish_asr_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
+    # Headline first (most important number lands even if an extra config
+    # fails); its line still prints LAST so the driver parses it.
+    rtfx, mfu, kind = bench_greedy_headline()
+    for fn in (bench_greedy_single, bench_train_small, bench_train_aug,
+               bench_beam_arpa, bench_longform_conformer_l):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — one config must not kill the run
+            _emit(f"error_{fn.__name__}", -1, "error", detail=str(e)[:200])
+
     baseline = bench_torch_baseline()
     vs = rtfx / baseline if baseline else 1.0
-    print(json.dumps({
-        "metric": "rtfx_greedy_batch",
-        "value": round(rtfx, 2),
-        "unit": "audio_sec/sec/chip",
-        "vs_baseline": round(vs, 2),
-    }))
+    _emit("rtfx_greedy_batch", rtfx, "audio_sec/sec/chip",
+          vs_baseline=round(vs, 2), mfu=round(mfu, 4) if mfu else None,
+          device=kind)
 
 
 if __name__ == "__main__":

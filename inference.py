@@ -120,10 +120,28 @@ class ASRInference:
 
         self.use_beam_search = use_beam_search
         if use_beam_search:
-            lm = KenLMModel(lm_path) if (lm_path and os.path.exists(lm_path)) \
-                else NGramLanguageModel()
-            self.decoder = CTCBeamDecoder(self.tokenizer,
-                                          beam_width=beam_width, lm=lm)
+            tables = None
+            lm = None
+            if lm_path and os.path.exists(lm_path):
+                lm = KenLMModel(lm_path)
+                from turkish_asr_tpu.decode.lm import build_arpa_fusion_tables
+                tables = build_arpa_fusion_tables(lm, self.tokenizer,
+                                                  cfg.n_classes)
+            if tables is not None:
+                # Exact ARPA backoff fusion inside the on-device beam scan
+                # (decode/lm.build_arpa_fusion_tables) — the batched
+                # replacement for the reference's per-extension host KenLM
+                # round trips (/root/reference/utils/decoding.py:261-263).
+                from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
+                self.decoder = DeviceBeamDecoder(self.tokenizer,
+                                                 beam_width=beam_width,
+                                                 lm_tables=tables)
+                print(f"Beam decoder: on-device ARPA fusion "
+                      f"({tables[0].shape[0]} LM states)")
+            else:
+                self.decoder = CTCBeamDecoder(
+                    self.tokenizer, beam_width=beam_width,
+                    lm=lm if lm is not None else NGramLanguageModel())
         else:
             self.decoder = None
         self.greedy = GreedyDecoder(self.tokenizer)
@@ -195,8 +213,10 @@ class ASRInference:
     def transcribe_files(self, audio_paths, batch_size=16):
         """True batched transcription: files are length-sorted, collated
         into padded bucket batches, and decoded with ONE forward + one
-        on-device greedy collapse per batch (the reference loops files
-        one-by-one). Errors yield "" per file.
+        on-device decode per batch (the reference loops files one-by-one).
+        The decode step follows the configured decoder: greedy collapse by
+        default, batched beam search (on-device, LM-fused when an ARPA
+        table compiled) under ``--beam_search``. Errors yield "" per file.
         """
         greedy = self.greedy
         # Keyed by input position, not path: duplicate paths in the input
@@ -238,7 +258,10 @@ class ASRInference:
                 logits, out_lens = self._forward_batch(
                     self.params, self.model_state, jnp.asarray(wav),
                     jnp.asarray(lens))
-                texts = greedy.decode_batch(logits, out_lens)
+                if self.use_beam_search and self.decoder is not None:
+                    texts = self.decoder.decode_batch(logits, out_lens)
+                else:
+                    texts = greedy.decode_batch(logits, out_lens)
                 for j, idx in enumerate(group):
                     results[idx] = texts[j]
 

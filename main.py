@@ -73,18 +73,31 @@ def main():
         f"Test={len(test_dataset) if test_dataset else 0}")
 
     buckets = parse_buckets(config.bucket_lengths)
+    # Multi-host: --batch_size is the GLOBAL batch. Every process samples
+    # the same batches (seed-driven shuffle) and loads its interleaved
+    # 1/process_count slice; parallel/mesh.shard_batch assembles the
+    # global device array from the per-process slices.
+    nproc, pidx = jax.process_count(), jax.process_index()
+    if config.batch_size % nproc != 0:
+        logger.error(f"--batch_size {config.batch_size} must be divisible "
+                     f"by the process count {nproc}")
+        return
+    per_proc_bs = config.batch_size // nproc
     train_sampler = BucketingSampler(train_dataset, batch_size=config.batch_size,
-                                     shuffle=True, seed=config.seed)
+                                     shuffle=True, seed=config.seed,
+                                     process_index=pidx, process_count=nproc)
     train_loader = PrefetchLoader(train_dataset, train_sampler,
-                                  config.batch_size,
+                                  per_proc_bs,
                                   num_workers=config.num_workers,
                                   waveform_buckets=buckets)
     valid_loader = None
     if valid_dataset:
         valid_sampler = BucketingSampler(valid_dataset, batch_size=config.batch_size,
-                                         shuffle=False)
+                                         shuffle=False,
+                                         process_index=pidx,
+                                         process_count=nproc)
         valid_loader = PrefetchLoader(valid_dataset, valid_sampler,
-                                      config.batch_size,
+                                      per_proc_bs,
                                       num_workers=config.num_workers,
                                       waveform_buckets=buckets)
 

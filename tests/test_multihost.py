@@ -1,0 +1,123 @@
+"""Multi-host data feed: 2-process CPU cluster runs one sharded train step.
+
+Validates VERDICT r1 missing #5: `shard_batch` must assemble global device
+arrays from process-local slices (jax.make_array_from_process_local_data)
+— a plain device_put cannot address another process's devices — and the
+BucketingSampler must hand each process an equal slice of every batch.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import os
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:%(port)d",
+                           num_processes=2, process_id=%(pid)d)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 2, jax.devices()
+
+import jax.numpy as jnp
+from turkish_asr_tpu.models.conformer import ModelConfig, init_model
+from turkish_asr_tpu.train.optim import make_optimizer
+from turkish_asr_tpu.train.trainer import Trainer
+from turkish_asr_tpu.utils.config import get_config
+from turkish_asr_tpu.utils.logger import get_logger
+from turkish_asr_tpu.parallel.mesh import make_mesh, shard_batch
+
+cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                  n_classes=12, dropout=0.0)
+params, model_state = init_model(jax.random.PRNGKey(0), cfg)
+tx, schedule = make_optimizer(1e-3, 1e-6, total_steps=10)
+mesh = make_mesh("data=2")
+trainer = Trainer(model_cfg=cfg, params=params, model_state=model_state,
+                  optimizer=tx, schedule=schedule, config=get_config([]),
+                  logger=get_logger("mh%(pid)d", log_file="/tmp/mh%(pid)d.log"),
+                  mesh=mesh, compute_dtype=jnp.float32)
+
+# Global batch of 4: every process holds rows [pid::2] (the interleaved
+# BucketingSampler slice contract).
+rng = np.random.default_rng(0)
+B, S = 4, 8000
+gbatch = {
+    "waveforms": (rng.standard_normal((B, S)) * 0.1).astype(np.float32),
+    "wav_lengths": np.full((B,), S, dtype=np.int32),
+    "targets": rng.integers(2, cfg.n_classes, (B, 6)).astype(np.int32),
+    "target_lengths": np.full((B,), 6, dtype=np.int32),
+    "sample_mask": np.ones((B,), dtype=np.float32),
+}
+local = {k: v[%(pid)d::2] for k, v in gbatch.items()}
+device_batch = shard_batch(mesh, local)
+_, _, _, loss = trainer._train_step(trainer.params, trainer.model_state,
+                                    trainer.opt_state, device_batch,
+                                    jax.random.PRNGKey(0))
+print("MHLOSS", float(loss))
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_step():
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", CHILD % {"port": port, "pid": pid}],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+    losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("MHLOSS")]
+        assert lines, out
+        losses.append(float(lines[0].split()[1]))
+    # Both processes observe the same global loss.
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5), losses
+
+
+def test_sampler_process_slicing():
+    """Every process gets an equal, disjoint slice of each global batch."""
+    from turkish_asr_tpu.data.dataset import BucketingSampler
+
+    class FakeDS:
+        file_pairs = [(f"/nonexistent/{i}.wav", "") for i in range(10)]
+
+        def __len__(self):
+            return 10
+
+    b0 = list(BucketingSampler(FakeDS(), 4, shuffle=False,
+                               process_index=0, process_count=2))
+    b1 = list(BucketingSampler(FakeDS(), 4, shuffle=False,
+                               process_index=1, process_count=2))
+    # ragged final batch (2 items) dropped in multi-process mode
+    assert len(b0) == len(b1) == 2
+    for x, y in zip(b0, b1):
+        assert len(x) == len(y) == 2
+        assert not set(x) & set(y)
+    with pytest.raises(ValueError):
+        BucketingSampler(FakeDS(), 5, process_index=0, process_count=2)

@@ -129,14 +129,27 @@ class BucketingSampler:
     """Length-ordered batch sampler (file size as length proxy).
 
     Yields lists of indices, one list per batch.
+
+    Multi-host: pass ``process_index``/``process_count`` and every process
+    receives an equal ``batch_size // process_count`` slice of each global
+    batch (same batches, same order on all processes — the shuffle RNG is
+    seed-driven, so seeds must match across processes). Ragged final
+    batches are dropped in this mode: ``shard_batch`` assembles the global
+    array from the per-process slices, which must agree in size.
     """
 
     def __init__(self, data_source, batch_size, shuffle=True, drop_last=False,
-                 seed=None):
+                 seed=None, process_index=0, process_count=1):
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count "
+                f"{process_count}")
         self.data_source = data_source
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = random.Random(seed)
         self.lengths = []
         for wav_path, _ in data_source.file_pairs:
@@ -154,11 +167,16 @@ class BucketingSampler:
                 batches.append(batch)
         if self.shuffle:
             self._rng.shuffle(batches)
+        if self.process_count > 1:
+            # Interleaved slice keeps each process's shard length-sorted
+            # within the batch (the batch is already one length bucket).
+            batches = [b[self.process_index::self.process_count]
+                       for b in batches if len(b) == self.batch_size]
         return iter(batches)
 
     def __len__(self):
         n = len(self.data_source)
-        if self.drop_last:
+        if self.process_count > 1 or self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 

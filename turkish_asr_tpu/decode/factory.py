@@ -16,18 +16,23 @@ from turkish_asr_tpu.decode.lm import KenLMModel
 class DeviceBeamDecoder:
     """Batched on-device beam search wrapped in the decoder API.
 
-    Optional on-device LM shallow fusion: pass ``lm_bias`` (a (V+1, V)
-    token-LM log-prob matrix, e.g. decode/lm.token_bigram_matrix) and
-    ``lm_weight``.
+    Optional on-device LM shallow fusion, two flavors:
+    - ``lm_bias``: a (V+1, V) token-bigram log-prob matrix
+      (decode/lm.token_bigram_matrix).
+    - ``lm_tables``: (score, next_state, start_state) compiled from an
+      ARPA file (decode/lm.build_arpa_fusion_tables) — exact any-order
+      backoff fusion, the batched-throughput equivalent of the host
+      KenLM-fused beam.
     """
 
     def __init__(self, tokenizer, beam_width=16, blank_id=0,
-                 lm_bias=None, lm_weight=0.3):
+                 lm_bias=None, lm_weight=0.3, lm_tables=None):
         self.tokenizer = tokenizer
         self.beam_width = beam_width
         self.blank_id = blank_id
         self.lm_bias = lm_bias
         self.lm_weight = lm_weight
+        self.lm_tables = lm_tables
 
     def decode(self, logits, length=None):
         import numpy as np
@@ -36,12 +41,20 @@ class DeviceBeamDecoder:
 
     def decode_batch(self, logits, lengths=None):
         import numpy as np
+        import jax
         import jax.numpy as jnp
         from turkish_asr_tpu.ops.beam_search import ctc_beam_search
-        x = jnp.asarray(logits)
+        # log_softmax is idempotent, so raw logits and pre-normalized
+        # log-probs are both accepted.
+        x = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
         lens = None if lengths is None else jnp.asarray(lengths)
         kwargs = {}
-        if self.lm_bias is not None:
+        if self.lm_tables is not None:
+            score_t, next_t, start = self.lm_tables
+            kwargs = {"lm_tables": (jnp.asarray(score_t), jnp.asarray(next_t)),
+                      "lm_start_state": int(start),
+                      "lm_weight": self.lm_weight}
+        elif self.lm_bias is not None:
             kwargs = {"lm_bias": jnp.asarray(self.lm_bias),
                       "lm_weight": self.lm_weight}
         # Cap the carried prefix buffer: CTC emits at most one token per
@@ -76,8 +89,21 @@ class FlashlightDecoder:
         self.tokenizer = tokenizer
         if lm_path and os.path.exists(lm_path):
             lm = KenLMModel(lm_path)
-            self._impl = CTCBeamDecoder(tokenizer, beam_width=beam_size,
-                                        lm=lm, lm_weight=lm_weight)
+            tables = None
+            vocab = getattr(tokenizer, "vocab_size", None)
+            if vocab:
+                from turkish_asr_tpu.decode.lm import build_arpa_fusion_tables
+                tables = build_arpa_fusion_tables(lm, tokenizer, vocab)
+            if tables is not None:
+                # Batched on-device beam with exact ARPA fusion — the
+                # native high-performance LM-fused configuration.
+                self._impl = DeviceBeamDecoder(tokenizer,
+                                               beam_width=min(beam_size, 32),
+                                               lm_tables=tables,
+                                               lm_weight=lm_weight)
+            else:
+                self._impl = CTCBeamDecoder(tokenizer, beam_width=beam_size,
+                                            lm=lm, lm_weight=lm_weight)
         else:
             self._impl = DeviceBeamDecoder(tokenizer,
                                            beam_width=min(beam_size, 32))

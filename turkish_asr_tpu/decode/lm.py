@@ -125,6 +125,7 @@ class KenLMModel:
 
     def __init__(self, model_path):
         self.backend = None
+        self.model_path = model_path
         try:
             import kenlm
             self.model = kenlm.Model(model_path)
@@ -146,6 +147,171 @@ class KenLMModel:
             return (self.score(full_text, bos=True, eos=False)
                     - self.score(context, bos=True, eos=False))
         return self.score(word, bos=True, eos=False)
+
+
+def build_arpa_fusion_tables(lm, tokenizer, vocab_size,
+                             max_entries=32_000_000):
+    """Compile an ARPA backoff LM into dense tables for on-device fusion.
+
+    The reference fuses KenLM per prefix extension on the host
+    (/root/reference/utils/decoding.py:261-263, 298-307): for each
+    candidate token it decodes the prefix, re-splits it, and queries
+    ``score_word(token_text, context)`` — a Python/C++ round trip per
+    (beam, token, frame). The TPU-native equivalent precomputes the LM as
+    a finite-state machine over **token** emissions:
+
+    - A *state* is an n-gram context that the ARPA file can actually
+      distinguish: the empty context plus every n-gram key of length
+      <= order-1 (longer histories collapse onto their longest listed
+      suffix, exactly like KenLM state recombination).
+    - ``score[s, v]`` is the full Katz-backoff conditional log10-prob of
+      token v's word text given state s (OOV words map to <unk>, same as
+      ArpaLanguageModel._cond_score).
+    - ``next_state[s, v]`` is the state reached after emitting token v.
+
+    Shallow fusion then becomes two gathers inside the beam-search scan
+    (ops/beam_search.ctc_beam_search(lm_tables=...)), with each beam
+    carrying one int32 LM state — any n-gram order rides at the same cost
+    as the bigram matrix.
+
+    Granularity note: each emitted token's decoded text is treated as one
+    LM word — the same granularity the reference uses when *scoring* an
+    appended token (it inserts a space: ``f"{context} {word}"``). For
+    tokenizers whose ``decode`` joins several tokens into one word (char
+    fallback, merge-style BPE), the host context words differ, so the
+    host CTCBeamDecoder remains the bit-parity path; this table fusion is
+    the throughput path. Tokens that decode to several words walk the
+    state machine word-by-word; tokens that decode to nothing score 0 and
+    keep the state.
+
+    Args:
+        lm: KenLMModel (arpa backend) or ArpaLanguageModel, or a path to
+            a text ARPA file.
+        tokenizer: provides ``decode([token_id]) -> str``.
+        vocab_size: number of token columns (model n_classes).
+        max_entries: refuse to build tables larger than this many cells
+            (returns None; callers fall back to host fusion).
+
+    Returns:
+        (score (S, V) float32 np.ndarray, next_state (S, V) int32
+        np.ndarray, start_state int) or None if the table would exceed
+        ``max_entries``.
+    """
+    import numpy as np
+
+    if isinstance(lm, str):
+        model = ArpaLanguageModel(lm)
+    elif isinstance(lm, KenLMModel):
+        if not isinstance(lm.model, ArpaLanguageModel):
+            # kenlm C++ backend: its internals aren't enumerable; re-parse
+            # the text ARPA if we kept a path.
+            path = getattr(lm, "model_path", None)
+            if path is None:
+                return None
+            try:
+                model = ArpaLanguageModel(path)
+            except (OSError, ValueError):
+                return None
+        else:
+            model = lm.model
+    else:
+        model = lm
+
+    order = model.order
+    logprob, backoff, vocab = model.logprob, model.backoff, model._vocab
+    V = vocab_size
+
+    states = [()] + sorted(
+        (k for k in logprob if 1 <= len(k) <= order - 1),
+        key=lambda t: (len(t), t))
+    sid = {s: i for i, s in enumerate(states)}
+    S = len(states)
+    if S * V > max_entries:
+        return None
+
+    # Token -> word sequence (OOV words -> <unk>, like _cond_score).
+    tok_words = []
+    for v in range(V):
+        try:
+            text = tokenizer.decode([v])
+        except Exception:  # noqa: BLE001 — special ids may not decode
+            text = ""
+        tok_words.append([w if w in vocab else "<unk>" for w in text.split()])
+    word_cols = {}
+    multi = []
+    for v, ws in enumerate(tok_words):
+        if len(ws) == 1:
+            word_cols.setdefault(ws[0], []).append(v)
+        else:
+            multi.append((v, ws))
+
+    # Explicit extensions (score overrides) and explicit child states
+    # (next-state overrides), keyed by context tuple.
+    explicit = {}
+    for k, lp in logprob.items():
+        explicit.setdefault(k[:-1], []).append((k[-1], lp))
+    children = {}
+    for u, i in sid.items():
+        if u:
+            children.setdefault(u[:-1], []).append((u[-1], i))
+
+    def sigma(t):
+        while t not in sid:
+            t = t[1:]
+        return t
+
+    score = np.empty((S, V), np.float32)
+    nxt = np.empty((S, V), np.int32)
+
+    unk_lp = logprob.get(("<unk>",), -10.0)
+    score[0] = unk_lp
+    nxt[0] = 0
+    for w, lp in explicit.get((), []):
+        cols = word_cols.get(w)
+        if cols:
+            score[0, cols] = lp
+    for w, uid in children.get((), []):
+        cols = word_cols.get(w)
+        if cols:
+            nxt[0, cols] = uid
+
+    # Rows in increasing state length: backoff recursion reads the parent
+    # row sigma(s[1:]), which is strictly shorter and already filled.
+    for i in range(1, S):
+        s = states[i]
+        par = sid[sigma(s[1:])]
+        score[i] = backoff.get(s, 0.0) + score[par]
+        nxt[i] = nxt[par]
+        for w, lp in explicit.get(s, []):
+            cols = word_cols.get(w)
+            if cols:
+                score[i, cols] = lp
+        c = s if len(s) < order - 1 else s[1:]
+        if c in sid or c == ():
+            for w, uid in children.get(c, []):
+                cols = word_cols.get(w)
+                if cols:
+                    nxt[i, cols] = uid
+
+    # Multi-word / empty-word token columns: walk the machine word by word.
+    for i, s in enumerate(states):
+        for v, ws in multi:
+            if not ws:
+                score[i, v] = 0.0
+                nxt[i, v] = i
+                continue
+            cur, tot = s, 0.0
+            for w in ws:
+                tot += model._cond_score(cur, w)
+                grown = cur + (w,)
+                cur = sigma(grown[len(grown) - (order - 1):]
+                            if order > 1 else ())
+            score[i, v] = tot
+            nxt[i, v] = sid[cur]
+
+    # score_word(w, context="") scores against <s> (bos=True).
+    start_state = sid.get(("<s>",), 0)
+    return score, nxt, start_state
 
 
 def token_bigram_matrix(texts, tokenizer, vocab_size):

@@ -116,8 +116,14 @@ def _flash_attention_fwd_impl(q, k, v, mask, block_q):
             ctx, lse = _attend(q_r[0], k_r[0, 0], v_r[0, 0], m_r[0],
                                scale, o_r.dtype)
             o_r[0] = ctx
-            lse_r[0] = lse
+            lse_r[0, 0] = lse
 
+        # lse rides in a (B, 1, N) layout: Mosaic requires the last two
+        # block dims to be (divisible by 8, divisible by 128) or equal to
+        # the array dims — a (1, block_q) block over (B, N) violates the
+        # sublane rule whenever B > 1, but over (B, 1, N) the (1, block_q)
+        # trailing block dims match (1, N). (Caught the first time the
+        # kernel lowered on real hardware; interpret mode doesn't check.)
         out, lse = pl.pallas_call(
             kernel,
             grid=grid,
@@ -134,12 +140,12 @@ def _flash_attention_fwd_impl(q, k, v, mask, block_q):
             out_specs=[
                 pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, N, D), jnp.float32),
-                jax.ShapeDtypeStruct((B, N), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
             ],
         )(qf, k, v, maskf)
         return out.reshape(B, H, T, D), lse
@@ -151,8 +157,10 @@ def _flash_attention_fwd_impl(q, k, v, mask, block_q):
         ctx, lse = _attend(q_r[0, 0], k_r[0, 0], v_r[0, 0], m_r[0],
                            scale, o_r.dtype)
         o_r[0, 0] = ctx
-        lse_r[0, 0] = lse
+        lse_r[0, 0, 0] = lse
 
+    # lse layout (B, H, 1, T): see the MQA branch note on Mosaic's
+    # trailing-block-dim rule.
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -169,12 +177,12 @@ def _flash_attention_fwd_impl(q, k, v, mask, block_q):
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, T), jnp.float32),
         ],
     )(q, k, v, maskf)
     return out, lse
@@ -239,7 +247,7 @@ def _flash_attention_bwd_impl(q, k, v, mask, out, lse, g, block_q):
         N = H * T
         qf = q.reshape(B, N, D)
         gn = gf.reshape(B, N, D)
-        deltan = delta.reshape(B, N)
+        deltan = delta.reshape(B, 1, N)
         nq = pl.cdiv(N, block_q)
 
         def kernel(q_r, g_r, lse_r, d_r, k_r, v_r, m_r,
@@ -249,7 +257,7 @@ def _flash_attention_bwd_impl(q, k, v, mask, out, lse, g, block_q):
                 jnp.int32, (block_q, 1), 0)
             rowmaskb = rows < N
             dq, dk_c, dv_c = _bwd_tile(
-                q_r[0].astype(jnp.float32), g_r[0], lse_r[0], d_r[0],
+                q_r[0].astype(jnp.float32), g_r[0], lse_r[0, 0], d_r[0, 0],
                 k_r[0, 0].astype(jnp.float32), v_r[0, 0].astype(jnp.float32),
                 m_r[0], rowmaskb, scale)
             dq_r[0] = dq
@@ -270,9 +278,9 @@ def _flash_attention_bwd_impl(q, k, v, mask, out, lse, g, block_q):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, T, D), lambda b, i: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -299,6 +307,7 @@ def _flash_attention_bwd_impl(q, k, v, mask, out, lse, g, block_q):
 
     # MHA: per-head KV; dk/dv accumulate across q tiles per (b, h).
     nq = pl.cdiv(T, block_q)
+    delta = delta.reshape(B, H, 1, T)
 
     def kernel(q_r, g_r, lse_r, d_r, k_r, v_r, m_r, dq_r, dk_r, dv_r):
         i = pl.program_id(2)
@@ -306,7 +315,8 @@ def _flash_attention_bwd_impl(q, k, v, mask, out, lse, g, block_q):
             jnp.int32, (block_q, 1), 0)
         rowmaskb = rows < T
         dq, dk_c, dv_c = _bwd_tile(
-            q_r[0, 0].astype(jnp.float32), g_r[0, 0], lse_r[0, 0], d_r[0, 0],
+            q_r[0, 0].astype(jnp.float32), g_r[0, 0],
+            lse_r[0, 0, 0], d_r[0, 0, 0],
             k_r[0, 0].astype(jnp.float32), v_r[0, 0].astype(jnp.float32),
             m_r[0], rowmaskb, scale)
         dq_r[0, 0] = dq
@@ -327,9 +337,9 @@ def _flash_attention_bwd_impl(q, k, v, mask, out, lse, g, block_q):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),

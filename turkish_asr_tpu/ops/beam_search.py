@@ -18,8 +18,11 @@ merged by sorting on the hash pair and log-sum-exp-ing adjacent equal
 runs — the fixed-shape analog of the reference's dict merge. Top-W by
 total probability survive.
 
-No LM fusion on device (host CTCBeamDecoder covers LM shallow fusion);
-word-bonus reranking is a host-side post-step.
+LM shallow fusion on device comes in two flavors: a (V+1, V) token-bigram
+bias matrix (lm_bias) and exact any-order ARPA backoff fusion via
+precompiled state tables (lm_tables + a per-beam carried int32 LM state —
+see decode/lm.build_arpa_fusion_tables). Word-bonus reranking is a
+host-side post-step.
 """
 
 from functools import partial
@@ -84,8 +87,8 @@ def _merge_candidates(h1, h2, p_b, p_nb, parent, tok):
 
 
 def _beam_step(state, logp_t, active, beam_width, blank_id, L,
-               lm_bias=None, lm_weight=0.3):
-    prefixes, lengths, last, p_b, p_nb, h1, h2 = state
+               lm_bias=None, lm_weight=0.3, lm_tables=None):
+    prefixes, lengths, last, p_b, p_nb, h1, h2, lm_state = state
     W = beam_width
     V = logp_t.shape[0]
     K = min(V, 2 * W)  # top-K expansion, K = 2W like the reference
@@ -113,6 +116,16 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
         # is added only on the different-token extend case
         # (/root/reference/utils/decoding.py:261-263).
         lm_rows = lm_bias[jnp.clip(last + 1, 0, lm_bias.shape[0] - 1)]  # (W, V)
+        lm = jnp.take_along_axis(lm_rows, jnp.clip(tok, 0, V - 1), axis=1)
+        ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
+                            ext_pnb + lm_weight * lm)
+    if lm_tables is not None:
+        # Exact ARPA backoff fusion: each beam carries an int32 LM state;
+        # the conditional log10-prob of every candidate token is one gather
+        # (decode/lm.build_arpa_fusion_tables). Applied on different-token
+        # extensions only, like the reference's KenLM branch.
+        score_t, _ = lm_tables
+        lm_rows = score_t[lm_state]                                  # (W, V)
         lm = jnp.take_along_axis(lm_rows, jnp.clip(tok, 0, V - 1), axis=1)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
@@ -159,6 +172,14 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
     n_lengths = lengths[sel_parent]
     n_last = last[sel_parent]
     extended = sel_tok >= 0
+    n_lm_state = lm_state[sel_parent]
+    if lm_tables is not None:
+        # LM state advances on EVERY extension (including repeat-token
+        # extends that add no LM score) — the reference recomputes its
+        # context from the full prefix, which includes those tokens.
+        _, next_t = lm_tables
+        stepped = next_t[n_lm_state, jnp.clip(sel_tok, 0, next_t.shape[1] - 1)]
+        n_lm_state = jnp.where(extended, stepped, n_lm_state)
     # Extensions past max_prefix_len spill into an overflow column that is
     # sliced away (documented truncation) rather than overwriting L-1.
     write_pos = jnp.where(extended & (n_lengths < L), n_lengths, L)
@@ -170,7 +191,8 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
     n_lengths = jnp.where(extended, jnp.minimum(n_lengths + 1, L), n_lengths)
     n_last = jnp.where(extended, sel_tok, n_last)
 
-    new_state = (n_prefixes, n_lengths, n_last, n_pb, n_pnb, n_h1, n_h2)
+    new_state = (n_prefixes, n_lengths, n_last, n_pb, n_pnb, n_h1, n_h2,
+                 n_lm_state)
     # Frames past the utterance end freeze the state (scalar `active`
     # broadcasts against every state tensor).
     return jax.tree.map(lambda new, old: jnp.where(active, new, old),
@@ -178,7 +200,8 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
 
 
 def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
-                        lm_bias=None, lm_weight=0.3):
+                        lm_bias=None, lm_weight=0.3, lm_tables=None,
+                        lm_start_state=0):
     T, V = logp.shape
     W, L = beam_width, max_prefix_len
 
@@ -194,24 +217,27 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     # tokens whenever beam_width exceeded the finite candidate count).
     h1 = -jnp.arange(W, dtype=jnp.int32)
     h2 = -jnp.arange(W, dtype=jnp.int32)
-    state = (prefixes, lengths, last, p_b, p_nb, h1, h2)
+    lm_state = jnp.full((W,), lm_start_state, dtype=jnp.int32)
+    state = (prefixes, lengths, last, p_b, p_nb, h1, h2, lm_state)
 
     def step(state, t):
         active = t < length
         new_state = _beam_step(state, logp[t], active, W, blank_id, L,
-                               lm_bias=lm_bias, lm_weight=lm_weight)
+                               lm_bias=lm_bias, lm_weight=lm_weight,
+                               lm_tables=lm_tables)
         return new_state, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(T))
-    prefixes, lengths, last, p_b, p_nb, _, _ = state
+    prefixes, lengths, last, p_b, p_nb, _, _, _ = state
     best = jnp.argmax(_lse(p_b, p_nb))
     return prefixes[best], lengths[best]
 
 
 @partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len",
-                                   "lm_weight"))
+                                   "lm_weight", "lm_start_state"))
 def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
-                    max_prefix_len=None, lm_bias=None, lm_weight=0.3):
+                    max_prefix_len=None, lm_bias=None, lm_weight=0.3,
+                    lm_tables=None, lm_start_state=0):
     """Batched on-device CTC prefix beam search.
 
     Args:
@@ -222,10 +248,17 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             see decode/lm.token_bigram_matrix). Added with weight
             ``lm_weight`` on different-token prefix extensions, exactly
             like the reference's LM fusion.
+        lm_tables: optional (score (S, V), next_state (S, V)) arrays from
+            decode/lm.build_arpa_fusion_tables — exact any-order ARPA
+            backoff shallow fusion; each beam carries an int32 LM state
+            starting at ``lm_start_state``. Mutually exclusive with
+            ``lm_bias``.
 
     Returns:
         (ids (B, Lmax) int32, counts (B,)) — best beam per batch item.
     """
+    if lm_bias is not None and lm_tables is not None:
+        raise ValueError("pass lm_bias or lm_tables, not both")
     B, T, V = log_probs.shape
     L = max_prefix_len or T
     if lengths is None:
@@ -235,6 +268,13 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
                  lm_weight=lm_weight)
     if lm_bias is not None:
         ids, counts = jax.vmap(lambda lp, n: fn(lp, n, lm_bias=lm_bias))(
+            log_probs, lengths)
+    elif lm_tables is not None:
+        score_t = jnp.asarray(lm_tables[0], dtype=jnp.float32)
+        next_t = jnp.asarray(lm_tables[1], dtype=jnp.int32)
+        ids, counts = jax.vmap(
+            lambda lp, n: fn(lp, n, lm_tables=(score_t, next_t),
+                             lm_start_state=lm_start_state))(
             log_probs, lengths)
     else:
         ids, counts = jax.vmap(fn)(log_probs, lengths)

@@ -61,15 +61,33 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(mesh, batch):
-    """Place a dict of host arrays with the batch axis sharded on "data"."""
+    """Place a dict of host arrays with the batch axis sharded on "data".
+
+    Single-process: a plain sharded ``device_put``. Multi-process
+    (``jax.process_count() > 1``): each process passes its process-LOCAL
+    slice of the global batch (``BucketingSampler(process_index=...,
+    process_count=...)`` hands every process an equal slice of each
+    batch), and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — ``device_put`` cannot
+    address another process's devices.
+    """
+    nproc = jax.process_count()
     if "data" in mesh.axis_names:
         data_size = mesh.shape["data"]
+        local_devices = max(1, data_size // nproc)
         for k, v in batch.items():
-            if np.ndim(v) >= 1 and np.shape(v)[0] % data_size != 0:
+            if np.ndim(v) >= 1 and np.shape(v)[0] % local_devices != 0:
                 raise ValueError(
-                    f"batch axis {np.shape(v)[0]} of '{k}' not divisible by "
-                    f"data-parallel size {data_size}; pick --batch_size as a "
-                    f"multiple of the mesh 'data' axis")
+                    f"per-process batch axis {np.shape(v)[0]} of '{k}' not "
+                    f"divisible by the {local_devices} local devices on the "
+                    f"mesh 'data' axis; pick --batch_size as a multiple of "
+                    f"the data-parallel size")
+    if nproc > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                batch_sharding(mesh, np.ndim(v)), np.asarray(v))
+            for k, v in batch.items()
+        }
     return {
         k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
         for k, v in batch.items()

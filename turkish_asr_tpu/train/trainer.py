@@ -377,6 +377,20 @@ class Trainer:
             f"Epoch {epoch} Complete | Loss: {avg_loss:.4f} | Time: {duration:.1f}s")
         return avg_loss
 
+    @staticmethod
+    def _local_rows(x):
+        """Host numpy of the process-local batch rows of a sharded array.
+
+        Single-host: the whole array. Multi-host: only this process's
+        shard rows (in mesh order, matching the interleaved sampler
+        slice) — the full array is not addressable across processes.
+        """
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def validate(self, epoch):
         if not self.valid_loader:
             return None
@@ -396,8 +410,8 @@ class Trainer:
             if self.metrics:
                 n_valid = int(batch["sample_mask"].sum())
                 result, preds, targs = self.metrics.compute_from_ids(
-                    np.asarray(pred_ids)[:n_valid],
-                    np.asarray(pred_counts)[:n_valid],
+                    self._local_rows(pred_ids)[:n_valid],
+                    self._local_rows(pred_counts)[:n_valid],
                     batch["targets"][:n_valid])
                 total_wer += result["wer"]
                 total_cer += result["cer"]
