@@ -1,15 +1,21 @@
-"""StableHLO export for the Turkish ASR model.
+"""Model export for the Turkish ASR model (StableHLO + TF SavedModel).
 
 The reference exports to ONNX via torch.onnx (/root/reference/
 export_onnx.py:16-121: rebuild model, load checkpoint, wrapper dropping the
 length mask, opset-14 export with dynamic batch/seq axes, checker verify,
-size report). The TPU-native deployment artifact is **StableHLO** via
-``jax.export``: dynamic batch and sequence dims as symbolic shapes, a
-numeric-parity verification against the live model, and a size report.
+size report). Two artifacts here:
+
+- ``--format stablehlo`` (default): the TPU-native artifact via
+  ``jax.export`` — dynamic batch and sequence dims as symbolic shapes,
+  numeric-parity verification against the live model, size report.
+- ``--format savedmodel``: a **TensorFlow SavedModel** via ``jax2tf`` —
+  the deployment-ecosystem artifact standing in for the reference's ONNX
+  file: consumable by TF Serving / TFLite converters / ``tf2onnx`` (the
+  standard SavedModel->ONNX path) with the same dynamic batch/time axes
+  and the same parity verification.
 
 CLI mirrors the reference's flags (--checkpoint --output --n_mel_channels
---d_model --n_heads --n_blocks); ``--opset`` maps to the StableHLO
-serialization version.
+--d_model --n_heads --n_blocks); ``--opset`` is accepted for flag parity.
 """
 
 import argparse
@@ -25,21 +31,12 @@ from turkish_asr_tpu.models.conformer import ModelConfig, init_model, apply_mode
 from turkish_asr_tpu.train.checkpoint import load_checkpoint_file
 
 
-def export_stablehlo(
-    checkpoint_path,
-    output_path,
-    n_mel_channels=80,
-    d_model=256,
-    n_heads=4,
-    n_blocks=8,
-    verify=True,
-):
-    """Export the model forward (features -> logits) to serialized StableHLO.
+def _load_forward(checkpoint_path, n_mel_channels, d_model, n_heads,
+                  n_blocks):
+    """Rebuild the model from a checkpoint; return (forward, cfg).
 
-    The exported function takes (B, T, n_mels) features with symbolic B/T —
-    like the reference's ONNXWrapper it omits the length mask (dense
-    attention over the provided frames).
-    """
+    Like the reference's ONNXWrapper the forward omits the length mask
+    (dense attention over the provided frames)."""
     print(f"Loading checkpoint: {checkpoint_path}")
     ckpt = load_checkpoint_file(checkpoint_path)
     meta = ckpt.get("meta", {}) or {}
@@ -64,6 +61,22 @@ def export_stablehlo(
         logits, _ = apply_model(params, state, feats, None, cfg=cfg,
                                 train=False, compute_dtype=jnp.float32)
         return logits
+
+    return forward, cfg
+
+
+def export_stablehlo(
+    checkpoint_path,
+    output_path,
+    n_mel_channels=80,
+    d_model=256,
+    n_heads=4,
+    n_blocks=8,
+    verify=True,
+):
+    """Export the model forward (features -> logits) to serialized StableHLO."""
+    forward, cfg = _load_forward(checkpoint_path, n_mel_channels, d_model,
+                                 n_heads, n_blocks)
 
     # Dynamic batch; time must stay a multiple of 4 so the two stride-2
     # subsampling convs and the (C,F) flatten see consistent shapes.
@@ -96,19 +109,85 @@ def export_stablehlo(
     return output_path
 
 
+def export_savedmodel(
+    checkpoint_path,
+    output_path,
+    n_mel_channels=80,
+    d_model=256,
+    n_heads=4,
+    n_blocks=8,
+    verify=True,
+):
+    """Export to a TensorFlow SavedModel via jax2tf (dynamic batch/time).
+
+    The SavedModel is the ecosystem bridge artifact: serve with TF
+    Serving, or convert onward with `python -m tf2onnx.convert
+    --saved-model <dir> --output model.onnx` to produce the reference's
+    exact artifact format where tf2onnx is installed.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    forward, cfg = _load_forward(checkpoint_path, n_mel_channels, d_model,
+                                 n_heads, n_blocks)
+
+    print("Converting with jax2tf (symbolic batch/time)...")
+    tf_fn = jax2tf.convert(
+        forward,
+        polymorphic_shapes=[f"(b, 4*t, {cfg.n_mels})"],
+        with_gradient=False,
+    )
+    module = tf.Module()
+    module.serve = tf.function(
+        tf_fn,
+        autograph=False,
+        input_signature=[tf.TensorSpec([None, None, cfg.n_mels],
+                                       tf.float32, name="features")],
+    )
+    # Concretize once so the SavedModel carries the traced graph.
+    module.serve.get_concrete_function()
+    tf.saved_model.save(module, output_path)
+    print(f"Exported SavedModel: {output_path}")
+
+    if verify:
+        print("Verifying numeric parity...")
+        loaded = tf.saved_model.load(output_path)
+        x = np.random.default_rng(0).standard_normal(
+            (2, 200, cfg.n_mels)).astype(np.float32)
+        want = np.asarray(forward(jnp.asarray(x)))
+        got = loaded.serve(tf.constant(x)).numpy()
+        err = float(np.max(np.abs(want - got)))
+        print(f"Max abs diff vs live model: {err:.3e}")
+        if err > 1e-3:
+            raise RuntimeError(f"Export verification failed: max diff {err}")
+        print("Verification passed.")
+
+    size = sum(os.path.getsize(os.path.join(dp, f))
+               for dp, _, fs in os.walk(output_path) for f in fs)
+    print(f"Model size: {size / (1024 * 1024):.2f} MB")
+    return output_path
+
+
 def main():
-    parser = argparse.ArgumentParser(description="Export ASR model to StableHLO")
+    parser = argparse.ArgumentParser(
+        description="Export ASR model (StableHLO or TF SavedModel)")
     parser.add_argument("--checkpoint", type=str, required=True, help="Path to model checkpoint")
     parser.add_argument("--output", type=str, default="model.stablehlo", help="Output path")
+    parser.add_argument("--format", type=str, default="stablehlo",
+                        choices=["stablehlo", "savedmodel"],
+                        help="Artifact format: TPU-native StableHLO or "
+                             "jax2tf SavedModel (TF Serving / tf2onnx bridge)")
     parser.add_argument("--n_mel_channels", type=int, default=80, help="Mel channels")
     parser.add_argument("--d_model", type=int, default=256, help="Model dimension")
     parser.add_argument("--n_heads", type=int, default=4, help="Attention heads")
     parser.add_argument("--n_blocks", type=int, default=8, help="Conformer blocks")
     parser.add_argument("--opset", type=int, default=None,
-                        help="Unused (ONNX-parity flag); StableHLO versioning is automatic")
+                        help="Unused (ONNX-parity flag); artifact versioning is automatic")
     args = parser.parse_args()
 
-    export_stablehlo(
+    exporter = (export_savedmodel if args.format == "savedmodel"
+                else export_stablehlo)
+    exporter(
         checkpoint_path=args.checkpoint,
         output_path=args.output,
         n_mel_channels=args.n_mel_channels,

@@ -53,3 +53,28 @@ def test_exported_dynamic_shapes(tmp_path):
         x = np.zeros((B, T, 80), dtype=np.float32)
         y = exported.call(jnp.asarray(x))
         assert y.shape[0] == B and y.shape[2] == tok.vocab_size
+
+
+@pytest.mark.slow
+def test_export_savedmodel(tmp_path):
+    """jax2tf SavedModel: dynamic batch/time + numeric parity (the
+    reference-ONNX-artifact equivalent; export_model.py docstring)."""
+    tf = pytest.importorskip("tensorflow")
+    from export_model import export_savedmodel
+
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint_file(ckpt, {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}, params, state)
+    out = str(tmp_path / "sm")
+    # export_savedmodel verifies numeric parity internally (raises on drift)
+    export_savedmodel(ckpt, out)
+    loaded = tf.saved_model.load(out)
+    import numpy as np
+    for B, T in [(1, 100), (3, 96)]:
+        y = loaded.serve(tf.constant(np.zeros((B, T, 80), np.float32)))
+        assert y.shape[0] == B and y.shape[2] == tok.vocab_size
