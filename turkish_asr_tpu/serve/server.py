@@ -114,23 +114,46 @@ class ASRService:
                 os.unlink(tmp_path)
 
     def transcribe_batch(self, uploads):
+        """Batch endpoint. The reference loops files sequentially
+        (serve/api.py:155-186); here all uploads go through ONE batched
+        bucket-collated forward (inference.transcribe_files) — per-file
+        error capture is preserved via its return_errors channel."""
         if self.asr is None:
             return 503, {"detail": "Model not loaded"}
-        results = []
-        for filename, content in uploads:
-            tmp_path = None
-            try:
-                ext = os.path.splitext(filename or "")[1].lower() or ".wav"
-                with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tmp:
-                    tmp.write(content)
-                    tmp_path = tmp.name
-                text = self.asr.transcribe(tmp_path)
-                results.append({"filename": filename, "text": text, "error": None})
-            except Exception as e:  # noqa: BLE001
-                results.append({"filename": filename, "text": "", "error": str(e)})
-            finally:
-                if tmp_path and os.path.exists(tmp_path):
-                    os.unlink(tmp_path)
+        results = [None] * len(uploads)
+        paths, slots = [], []
+        try:
+            for i, (filename, content) in enumerate(uploads):
+                try:
+                    ext = os.path.splitext(filename or "")[1].lower() or ".wav"
+                    with tempfile.NamedTemporaryFile(suffix=ext,
+                                                     delete=False) as tmp:
+                        tmp.write(content)
+                    paths.append(tmp.name)
+                    slots.append(i)
+                except Exception as e:  # noqa: BLE001
+                    results[i] = {"filename": filename, "text": "",
+                                  "error": str(e)}
+            if paths:
+                if hasattr(self.asr, "transcribe_files"):
+                    texts, errors = self.asr.transcribe_files(
+                        paths, return_errors=True)
+                else:  # minimal ASR objects: sequential fallback
+                    texts, errors = [], []
+                    for p in paths:
+                        try:
+                            texts.append(self.asr.transcribe(p))
+                            errors.append(None)
+                        except Exception as e:  # noqa: BLE001
+                            texts.append("")
+                            errors.append(str(e))
+                for slot, text, err in zip(slots, texts, errors):
+                    results[slot] = {"filename": uploads[slot][0],
+                                     "text": text, "error": err}
+        finally:
+            for p in paths:
+                if os.path.exists(p):
+                    os.unlink(p)
         return 200, {"results": results}
 
 

@@ -420,9 +420,17 @@ class Trainer:
                     example_targets = targs[:2]
             num_batches += 1
 
-        avg_val_loss = val_loss / max(num_batches, 1)
-        avg_wer = total_wer / max(num_batches, 1)
-        avg_cer = total_cer / max(num_batches, 1)
+        if num_batches == 0:
+            # Multi-process mode drops ragged batches; a valid set smaller
+            # than the global batch yields nothing — returning 0.0 here
+            # would masquerade as a perfect val loss and steal best_model.
+            self.logger.warning(
+                "Validation produced no full batches (valid set smaller "
+                "than the global batch size?); skipping.")
+            return None
+        avg_val_loss = val_loss / num_batches
+        avg_wer = total_wer / num_batches
+        avg_cer = total_cer / num_batches
         self.logger.info(
             f"Epoch {epoch} Validation | Loss: {avg_val_loss:.4f} | "
             f"WER: {avg_wer:.2%} | CER: {avg_cer:.2%}")
