@@ -48,6 +48,7 @@ class ASRInference:
         use_beam_search=False,
         beam_width=10,
         lm_path=None,
+        lm_fusion="auto",
         compute_dtype=jnp.bfloat16,
         use_pallas=True,
         tokenizer_path=None,
@@ -124,9 +125,19 @@ class ASRInference:
             lm = None
             if lm_path and os.path.exists(lm_path):
                 lm = KenLMModel(lm_path)
-                from turkish_asr_tpu.decode.lm import build_arpa_fusion_tables
-                tables = build_arpa_fusion_tables(lm, self.tokenizer,
-                                                  cfg.n_classes)
+                from turkish_asr_tpu.decode.lm import (
+                    build_arpa_fusion_tables, tokenizer_is_word_granular)
+                # "auto" uses device tables only when each token decodes
+                # to its own word (table granularity == host granularity);
+                # char/BPE tokenizers keep the bit-parity host beam unless
+                # the user forces --lm_fusion device for throughput.
+                want_device = (lm_fusion == "device"
+                               or (lm_fusion == "auto"
+                                   and tokenizer_is_word_granular(
+                                       self.tokenizer, cfg.n_classes)))
+                if want_device:
+                    tables = build_arpa_fusion_tables(lm, self.tokenizer,
+                                                      cfg.n_classes)
             if tables is not None:
                 # Exact ARPA backoff fusion inside the on-device beam scan
                 # (decode/lm.build_arpa_fusion_tables) — the batched
@@ -298,6 +309,12 @@ def main():
     parser.add_argument("--n_blocks", type=int, default=8, help="Conformer blocks")
     parser.add_argument("--lm", type=str, default=None,
                         help="KenLM/ARPA language model for beam-search fusion")
+    parser.add_argument("--lm_fusion", type=str, default="auto",
+                        choices=["auto", "device", "host"],
+                        help="LM fusion path: on-device ARPA state tables "
+                             "(batched throughput) vs host beam (bit parity "
+                             "for char/BPE tokenizers); auto picks device "
+                             "only when each token decodes to its own word")
     parser.add_argument("--tokenizer_path", type=str, default=None,
                         help="Tokenizer: .json BPE vocab or HF model name")
     parser.add_argument("--trust_checkpoint", action="store_true",
@@ -314,6 +331,7 @@ def main():
         use_beam_search=args.beam_search,
         beam_width=args.beam_width,
         lm_path=args.lm,
+        lm_fusion=args.lm_fusion,
         tokenizer_path=args.tokenizer_path,
         trust_checkpoint=args.trust_checkpoint,
     )

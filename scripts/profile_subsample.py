@@ -28,8 +28,6 @@ def timeit(fn, *args, repeats=5):
     sync, so each timed call runs INNER chained iterations of ``fn`` inside a
     single jit (carry-dependent so XLA can't dedupe) and divides by INNER.
     """
-    first = args[-1]
-
     @jax.jit
     def looped(*a):
         def body(i, acc):

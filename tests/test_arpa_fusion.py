@@ -182,3 +182,35 @@ def test_flashlight_factory_uses_device_tables(arpa_path):
     lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
     texts = dec.decode_batch(lp, lengths=[12, 9])
     assert len(texts) == 2
+
+
+def test_tokenizer_granularity_probe():
+    from turkish_asr_tpu.decode.lm import tokenizer_is_word_granular
+
+    assert tokenizer_is_word_granular(WordTok(), len(WORDS))
+
+    class CharTok:
+        vocab_size = 5
+
+        def decode(self, ids):
+            return "".join("abcd "[i] for i in ids)  # joins without spaces
+
+    assert not tokenizer_is_word_granular(CharTok(), 5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_word_bonus_matches_host(model, tables, seed):
+    """DeviceBeamDecoder with word_bonus reranks all beams exactly like
+    the reference's final beta loop (decoding.py:282-287)."""
+    tok = WordTok()
+    rng = np.random.default_rng(100 + seed)
+    logits = rng.standard_normal((18, tok.vocab_size)).astype(np.float32) * 2.0
+
+    host = CTCBeamDecoder(tok, beam_width=8, lm=model,
+                          lm_weight=0.3, word_bonus=0.5)
+    want = host.decode(logits)
+
+    dec = DeviceBeamDecoder(tok, beam_width=8, lm_tables=tables,
+                            lm_weight=0.3, word_bonus=0.5)
+    got = dec.decode(logits)
+    assert got == want

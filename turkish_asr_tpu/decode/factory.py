@@ -26,13 +26,25 @@ class DeviceBeamDecoder:
     """
 
     def __init__(self, tokenizer, beam_width=16, blank_id=0,
-                 lm_bias=None, lm_weight=0.3, lm_tables=None):
+                 lm_bias=None, lm_weight=0.3, lm_tables=None,
+                 word_bonus=0.5):
+        import jax.numpy as jnp
         self.tokenizer = tokenizer
         self.beam_width = beam_width
         self.blank_id = blank_id
-        self.lm_bias = lm_bias
+        # Device-resident once: re-uploading (S, V) tables per decode call
+        # would re-transfer tens of MB for every batch.
+        self.lm_bias = None if lm_bias is None else jnp.asarray(lm_bias)
         self.lm_weight = lm_weight
-        self.lm_tables = lm_tables
+        if lm_tables is not None:
+            self.lm_tables = (jnp.asarray(lm_tables[0]),
+                              jnp.asarray(lm_tables[1]), int(lm_tables[2]))
+        else:
+            self.lm_tables = None
+        # Reference CTCBeamDecoder applies a final per-word insertion
+        # bonus (beta, decoding.py:282-287); the device search returns all
+        # W beams and the bonus reranks them host-side.
+        self.word_bonus = word_bonus
 
     def decode(self, logits, length=None):
         import numpy as np
@@ -51,11 +63,11 @@ class DeviceBeamDecoder:
         kwargs = {}
         if self.lm_tables is not None:
             score_t, next_t, start = self.lm_tables
-            kwargs = {"lm_tables": (jnp.asarray(score_t), jnp.asarray(next_t)),
-                      "lm_start_state": int(start),
+            kwargs = {"lm_tables": (score_t, next_t),
+                      "lm_start_state": start,
                       "lm_weight": self.lm_weight}
         elif self.lm_bias is not None:
-            kwargs = {"lm_bias": jnp.asarray(self.lm_bias),
+            kwargs = {"lm_bias": self.lm_bias,
                       "lm_weight": self.lm_weight}
         # Cap the carried prefix buffer: CTC emits at most one token per
         # frame, but realistic transcripts are far shorter than T, and the
@@ -64,6 +76,26 @@ class DeviceBeamDecoder:
         # tokens spill into a discarded column; documented truncation).
         T = x.shape[1]
         kwargs["max_prefix_len"] = min(T, 512)
+        if self.word_bonus > 0:
+            ids, counts, scores = ctc_beam_search(
+                x, lens, beam_width=self.beam_width,
+                blank_id=self.blank_id, return_all_beams=True, **kwargs)
+            ids = np.asarray(ids)
+            counts = np.asarray(counts)
+            scores = np.asarray(scores)
+            out = []
+            for i in range(ids.shape[0]):
+                best_text, best_score = "", -np.inf
+                for w in range(ids.shape[1]):
+                    if scores[i, w] <= -1e29:
+                        continue  # dead beam
+                    text = self.tokenizer.decode(
+                        ids[i, w, :counts[i, w]].tolist())
+                    s = scores[i, w] + self.word_bonus * len(text.split())
+                    if s > best_score:
+                        best_score, best_text = s, text
+                out.append(best_text)
+            return out
         ids, counts = ctc_beam_search(x, lens, beam_width=self.beam_width,
                                       blank_id=self.blank_id, **kwargs)
         ids, counts = np.asarray(ids), np.asarray(counts)
@@ -87,13 +119,21 @@ class FlashlightDecoder:
                  beam_size=100, lm_weight=2.0, word_score=-1.0,
                  sil_score=0.0, beam_threshold=25.0):
         self.tokenizer = tokenizer
+        lm = None
         if lm_path and os.path.exists(lm_path):
-            lm = KenLMModel(lm_path)
+            try:
+                lm = KenLMModel(lm_path)
+            except Exception as e:  # noqa: BLE001 — e.g. binary .klm
+                # without the kenlm package; degrade like create_decoder
+                print(f"Warning: Could not load LM: {e}")
+        if lm is not None:
             tables = None
             vocab = getattr(tokenizer, "vocab_size", None)
             if vocab:
-                from turkish_asr_tpu.decode.lm import build_arpa_fusion_tables
-                tables = build_arpa_fusion_tables(lm, tokenizer, vocab)
+                from turkish_asr_tpu.decode.lm import (
+                    build_arpa_fusion_tables, tokenizer_is_word_granular)
+                if tokenizer_is_word_granular(tokenizer, vocab):
+                    tables = build_arpa_fusion_tables(lm, tokenizer, vocab)
             if tables is not None:
                 # Batched on-device beam with exact ARPA fusion — the
                 # native high-performance LM-fused configuration.

@@ -149,6 +149,40 @@ class KenLMModel:
         return self.score(word, bos=True, eos=False)
 
 
+def tokenizer_is_word_granular(tokenizer, vocab_size, n_probe=8):
+    """True when ``decode`` treats each token as its own space-delimited
+    word — the granularity at which on-device ARPA table fusion matches
+    the host KenLM context semantics exactly.
+
+    Probes pairs of token ids: a word-granular tokenizer satisfies
+    ``decode([a, b]) == decode([a]) + " " + decode([b])``. Char-level and
+    merge-style BPE tokenizers (which join tokens without separators)
+    fail the probe, and callers should prefer the host beam for LM
+    fusion parity there.
+    """
+    probed = 0
+    ids = []
+    for v in range(vocab_size):
+        try:
+            t = tokenizer.decode([v])
+        except Exception:  # noqa: BLE001
+            continue
+        if t.strip():
+            ids.append(v)
+        if len(ids) >= 2 * n_probe:
+            break
+    for a, b in zip(ids[0::2], ids[1::2]):
+        try:
+            joint = tokenizer.decode([a, b])
+            parts = f"{tokenizer.decode([a])} {tokenizer.decode([b])}"
+        except Exception:  # noqa: BLE001
+            return False
+        if joint.split() != parts.split():
+            return False
+        probed += 1
+    return probed > 0
+
+
 def build_arpa_fusion_tables(lm, tokenizer, vocab_size,
                              max_entries=32_000_000):
     """Compile an ARPA backoff LM into dense tables for on-device fusion.

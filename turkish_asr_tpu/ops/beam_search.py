@@ -203,7 +203,7 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
 
 def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
                         lm_bias=None, lm_weight=0.3, lm_tables=None,
-                        lm_start_state=0):
+                        lm_start_state=0, return_all_beams=False):
     T, V = logp.shape
     W, L = beam_width, max_prefix_len
 
@@ -231,15 +231,21 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
 
     state, _ = jax.lax.scan(step, state, jnp.arange(T))
     prefixes, lengths, last, p_b, p_nb, _, _, _ = state
-    best = jnp.argmax(_lse(p_b, p_nb))
+    scores = _lse(p_b, p_nb)
+    if return_all_beams:
+        # All W beams + scores: callers apply the reference's final
+        # word-count bonus (beta) as a host-side rerank over these.
+        return prefixes, lengths, scores
+    best = jnp.argmax(scores)
     return prefixes[best], lengths[best]
 
 
 @partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len",
-                                   "lm_weight", "lm_start_state"))
+                                   "lm_weight", "lm_start_state",
+                                   "return_all_beams"))
 def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
                     max_prefix_len=None, lm_bias=None, lm_weight=0.3,
-                    lm_tables=None, lm_start_state=0):
+                    lm_tables=None, lm_start_state=0, return_all_beams=False):
     """Batched on-device CTC prefix beam search.
 
     Args:
@@ -255,9 +261,13 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             backoff shallow fusion; each beam carries an int32 LM state
             starting at ``lm_start_state``. Mutually exclusive with
             ``lm_bias``.
+        return_all_beams: when True, return every beam instead of the
+            argmax — (ids (B, W, Lmax), counts (B, W), scores (B, W)) —
+            so callers can apply the reference's final word-count bonus.
 
     Returns:
-        (ids (B, Lmax) int32, counts (B,)) — best beam per batch item.
+        (ids (B, Lmax) int32, counts (B,)) — best beam per batch item —
+        or the all-beams triple described above.
     """
     if lm_bias is not None and lm_tables is not None:
         raise ValueError("pass lm_bias or lm_tables, not both")
@@ -267,17 +277,17 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         lengths = jnp.full((B,), T, dtype=jnp.int32)
     fn = partial(_beam_search_single, beam_width=beam_width,
                  blank_id=blank_id, max_prefix_len=L,
-                 lm_weight=lm_weight)
+                 lm_weight=lm_weight, return_all_beams=return_all_beams)
     if lm_bias is not None:
-        ids, counts = jax.vmap(lambda lp, n: fn(lp, n, lm_bias=lm_bias))(
+        out = jax.vmap(lambda lp, n: fn(lp, n, lm_bias=lm_bias))(
             log_probs, lengths)
     elif lm_tables is not None:
         score_t = jnp.asarray(lm_tables[0], dtype=jnp.float32)
         next_t = jnp.asarray(lm_tables[1], dtype=jnp.int32)
-        ids, counts = jax.vmap(
+        out = jax.vmap(
             lambda lp, n: fn(lp, n, lm_tables=(score_t, next_t),
                              lm_start_state=lm_start_state))(
             log_probs, lengths)
     else:
-        ids, counts = jax.vmap(fn)(log_probs, lengths)
-    return ids, counts
+        out = jax.vmap(fn)(log_probs, lengths)
+    return out

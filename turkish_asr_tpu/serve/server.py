@@ -135,10 +135,18 @@ class ASRService:
                     results[i] = {"filename": filename, "text": "",
                                   "error": str(e)}
             if paths:
+                texts = errors = None
                 if hasattr(self.asr, "transcribe_files"):
-                    texts, errors = self.asr.transcribe_files(
-                        paths, return_errors=True)
-                else:  # minimal ASR objects: sequential fallback
+                    try:
+                        texts, errors = self.asr.transcribe_files(
+                            paths, return_errors=True)
+                    except Exception as e:  # noqa: BLE001
+                        # A failure in the batched forward must not take
+                        # down the whole request — fall back to the
+                        # per-file path, which isolates errors per upload.
+                        print(f"Batched transcription failed ({e}); "
+                              "falling back to per-file")
+                if texts is None:  # minimal ASR objects / batched failure
                     texts, errors = [], []
                     for p in paths:
                         try:

@@ -387,8 +387,13 @@ class Trainer:
         """
         if jax.process_count() == 1:
             return np.asarray(x)
-        shards = sorted(x.addressable_shards,
-                        key=lambda s: (s.index[0].start or 0))
+        # Dedup by batch-axis offset: on meshes with a model/seq axis the
+        # batch shard is replicated across those devices, so each row
+        # range appears once per replica in addressable_shards.
+        by_offset = {}
+        for s in x.addressable_shards:
+            by_offset.setdefault(s.index[0].start or 0, s)
+        shards = [by_offset[k] for k in sorted(by_offset)]
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     def validate(self, epoch):

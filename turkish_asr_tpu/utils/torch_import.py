@@ -147,9 +147,14 @@ def load_torch_checkpoint(path, n_heads=4, allow_pickle=False):
     from turkish_asr_tpu.models.conformer import ModelConfig
     try:
         blob = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
         if not allow_pickle:
-            raise
+            raise RuntimeError(
+                f"Safe (weights_only) load of {path} failed: {e}\n"
+                "The checkpoint contains non-tensor pickled payloads "
+                "(e.g. embedded config/optimizer objects). If the file "
+                "is trusted, re-run with --trust_checkpoint "
+                "(allow_pickle=True) to permit full unpickling.") from e
         blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
     # Full reference checkpoints embed vars(config) incl. n_heads and
