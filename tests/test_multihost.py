@@ -24,7 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address="localhost:%(port)d",
                            num_processes=2, process_id=%(pid)d)
 assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 2, jax.devices()
+assert len(jax.devices()) == %(ndev)d, jax.devices()
 
 import jax.numpy as jnp
 from turkish_asr_tpu.models.conformer import ModelConfig, init_model
@@ -38,7 +38,7 @@ cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
                   n_classes=12, dropout=0.0)
 params, model_state = init_model(jax.random.PRNGKey(0), cfg)
 tx, schedule = make_optimizer(1e-3, 1e-6, total_steps=10)
-mesh = make_mesh("data=2")
+mesh = make_mesh("%(mesh)s")
 trainer = Trainer(model_cfg=cfg, params=params, model_state=model_state,
                   optimizer=tx, schedule=schedule, config=get_config([]),
                   logger=get_logger("mh%(pid)d", log_file="/tmp/mh%(pid)d.log"),
@@ -57,10 +57,18 @@ gbatch = {
 }
 local = {k: v[%(pid)d::2] for k, v in gbatch.items()}
 device_batch = shard_batch(mesh, local)
-_, _, _, loss = trainer._train_step(trainer.params, trainer.model_state,
-                                    trainer.opt_state, device_batch,
-                                    jax.random.PRNGKey(0))
+# train_step donates params/model_state/opt_state: keep the returned ones
+new_p, new_ms, new_opt, loss = trainer._train_step(
+    trainer.params, trainer.model_state, trainer.opt_state, device_batch,
+    jax.random.PRNGKey(0))
 print("MHLOSS", float(loss))
+
+# _local_rows must return exactly this process's batch rows, deduped
+# across any replicating (model) axis.
+_, ids, counts = trainer._eval_step(new_p, new_ms, device_batch)
+rows = Trainer._local_rows(counts)
+assert rows.shape[0] == local["waveforms"].shape[0], rows.shape
+print("MHROWS", rows.shape[0])
 """
 
 
@@ -71,16 +79,25 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_train_step():
+@pytest.mark.parametrize("mesh,devs_per_proc", [
+    ("data=2", 1),
+    # data x model: batch shards replicate over the model axis, so
+    # _local_rows must dedup replicated shards (one range per replica).
+    ("data=2,model=2", 2),
+])
+def test_two_process_train_step(mesh, devs_per_proc):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs_per_proc}")
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", CHILD % {"port": port, "pid": pid}],
+            [sys.executable, "-c",
+             CHILD % {"port": port, "pid": pid, "mesh": mesh,
+                      "ndev": 2 * devs_per_proc}],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)
