@@ -53,6 +53,7 @@ class ASRInference:
         use_pallas=True,
         tokenizer_path=None,
         trust_checkpoint=False,
+        data_parallel=True,
     ):
         from turkish_asr_tpu.utils.runtime import enable_compilation_cache
         from turkish_asr_tpu.data.tokenizer import load_tokenizer
@@ -88,6 +89,19 @@ class ASRInference:
             else:
                 _, self.model_state = init_model(jax.random.PRNGKey(0), self.cfg)
         self.compute_dtype = compute_dtype
+
+        # Batched transcription shards the batch axis over all visible
+        # chips (the BASELINE v5e-8 workload is data-parallel batched
+        # greedy): params replicate on the mesh, XLA compiles the forward
+        # SPMD, and per-chip throughput multiplies by the chip count.
+        self._mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from turkish_asr_tpu.parallel.mesh import (
+                make_mesh, replicated_sharding)
+            self._mesh = make_mesh(f"data={len(jax.devices())}")
+            rep = replicated_sharding(self._mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.model_state = jax.device_put(self.model_state, rep)
 
         cfg = self.cfg
         attn_kernel = None
@@ -232,6 +246,11 @@ class ASRInference:
         with ``return_errors=True`` returns (texts, error strings or None).
         """
         greedy = self.greedy
+        if self._mesh is not None:
+            # Pad the collated batch to a multiple of the data-parallel
+            # size so every chip gets equal rows (dummy rows are masked).
+            n_dev = self._mesh.shape["data"]
+            batch_size = -(-batch_size // n_dev) * n_dev
         # Keyed by input position, not path: duplicate paths in the input
         # list must each produce their own result slot.
         waveforms = []
@@ -270,9 +289,14 @@ class ASRInference:
                     w = waveforms[idx]
                     wav[j, :w.shape[0]] = w
                     lens[j] = w.shape[0]
+                wav_dev, lens_dev = jnp.asarray(wav), jnp.asarray(lens)
+                if self._mesh is not None:
+                    from turkish_asr_tpu.parallel.mesh import shard_batch
+                    sharded = shard_batch(self._mesh,
+                                          {"w": wav, "l": lens})
+                    wav_dev, lens_dev = sharded["w"], sharded["l"]
                 logits, out_lens = self._forward_batch(
-                    self.params, self.model_state, jnp.asarray(wav),
-                    jnp.asarray(lens))
+                    self.params, self.model_state, wav_dev, lens_dev)
                 if self.use_beam_search and self.decoder is not None:
                     texts = self.decoder.decode_batch(logits, out_lens)
                 else:

@@ -107,3 +107,26 @@ def test_load_tokenizer_bpe(tmp_path):
     tok = load_tokenizer(p)
     assert tok.pad_token_id == 0
     assert tok.decode(tok.encode("merhaba")) == "merhaba"
+
+
+def test_data_parallel_batched_matches_single(asr, wav_dir, tmp_path_factory):
+    """Mesh-sharded batched inference (8 virtual CPU devices via
+    conftest) must produce the same transcripts as the unsharded path —
+    the BASELINE v5e-8 data-parallel batched-greedy story."""
+    from inference import ASRInference
+    assert asr._mesh is not None  # conftest provides 8 devices
+    # rebuild an unsharded engine from the same checkpoint
+    import glob
+    d = tmp_path_factory.mktemp("inf2")
+    # reuse the asr fixture's params by saving them again
+    save_checkpoint_file(str(d / "m.ckpt"), {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": asr.cfg.n_classes, "dropout": 0.0}},
+        jax.tree.map(np.asarray, asr.params),
+        jax.tree.map(np.asarray, asr.model_state))
+    single = ASRInference(str(d / "m.ckpt"), compute_dtype=jnp.float32,
+                          data_parallel=False)
+    assert single._mesh is None
+    sharded_out = asr.transcribe_files(wav_dir, batch_size=4)
+    single_out = single.transcribe_files(wav_dir, batch_size=4)
+    assert sharded_out == single_out
