@@ -6,17 +6,23 @@ iterations per utterance. Here the whole search runs inside one
 `lax.scan`, batch-parallel under `vmap`, with fixed-shape state:
 
 state per batch item (W = beam_width):
-    prefixes  (W, L)  materialized token rows
-    lengths   (W,)    prefix lengths
     last      (W,)    last token (-1 for the empty prefix)
     p_b, p_nb (W,)    log P(prefix ending in blank / non-blank)
     h1, h2    (W,)    two independent rolling hashes of the prefix
+    lm_state  (W,)    ARPA fusion context state (when lm_tables given)
+
+No token buffer rides the scan: each step emits (parent, token) links and
+the winning prefixes are reconstructed once at the end by a traceback
+scan (eliminates a per-step (W, L) gather+scatter that dominated HBM
+traffic on long utterances).
 
 per step: W "stay" candidates (blank + same-token merge) and W*K "extend"
-candidates (top-K tokens, K = 2W). Equal prefixes among candidates are
-merged by sorting on the hash pair and log-sum-exp-ing adjacent equal
-runs — the fixed-shape analog of the reference's dict merge. Top-W by
-total probability survive.
+candidates (top-K tokens, K = 2W). Because live beams are pairwise-
+distinct prefixes, the only possible duplicate is stay(P) vs
+extend(parent, t) with parent + t == P, so the reference's dict merge
+reduces to a (W, W*K) double-hash equality match (no sort) — matched
+stays fold their mass into the extend. Top-W by total probability
+survive.
 
 LM shallow fusion on device comes in two flavors: a (V+1, V) token-bigram
 bias matrix (lm_bias) and exact any-order ARPA backoff fusion via
@@ -48,49 +54,9 @@ def _hash_step(h, tok, p, m):
     return out.astype(jnp.int32)
 
 
-def _merge_candidates(h1, h2, p_b, p_nb, parent, tok):
-    """Sort candidates by hash pair; merge adjacent equal prefixes.
-
-    Returns merged (h1, h2, p_b, p_nb, parent, tok) where duplicates have
-    been folded into the first occurrence and the rest disabled (NEG_INF).
-    """
-    N = h1.shape[0]
-    # Lexicographic sort on (h1, h2), carrying all four payload arrays
-    # through the sort network. Measured on v5e: the "optimization" of
-    # sorting (h1, h2, index) and gathering payloads afterwards is 3x
-    # SLOWER end-to-end (4.2k -> 1.5k RTFx at beam-16/B=128) — batched
-    # dynamic gathers under vmap cost far more than the extra payload
-    # lanes in the compare-exchange network. Keep the payload sort.
-    (h1s, h2s, pbs, pnbs, pars, toks) = jax.lax.sort(
-        (h1, h2, p_b, p_nb, parent, tok), num_keys=2)
-
-    same = (h1s == jnp.roll(h1s, 1)) & (h2s == jnp.roll(h2s, 1))
-    same = same.at[0].set(False)
-
-    # Segment-merge runs of equal prefixes via associative scan over
-    # (value, is_segment_start) pairs in log space.
-    def combine(a, b):
-        (pb_a, pnb_a, start_a) = a
-        (pb_b, pnb_b, start_b) = b
-        pb = jnp.where(start_b, pb_b, _lse(pb_a, pb_b))
-        pnb = jnp.where(start_b, pnb_b, _lse(pnb_a, pnb_b))
-        return (pb, pnb, start_a | start_b)
-
-    start = ~same
-    pb_acc, pnb_acc, _ = jax.lax.associative_scan(
-        combine, (pbs, pnbs, start))
-    # The *last* element of each run holds the full merged sum. An element
-    # is a run-end when the next element starts a new run.
-    next_start = jnp.roll(start, -1).at[-1].set(True)
-    is_run_end = next_start
-    pb_m = jnp.where(is_run_end, pb_acc, NEG_INF)
-    pnb_m = jnp.where(is_run_end, pnb_acc, NEG_INF)
-    return h1s, h2s, pb_m, pnb_m, pars, toks
-
-
-def _beam_step(state, logp_t, active, beam_width, blank_id, L,
+def _beam_step(state, logp_t, active, beam_width, blank_id,
                lm_bias=None, lm_weight=0.3, lm_tables=None):
-    prefixes, lengths, last, p_b, p_nb, h1, h2, lm_state = state
+    last, p_b, p_nb, h1, h2, lm_state = state
     W = beam_width
     V = logp_t.shape[0]
     K = min(V, 2 * W)  # top-K expansion, K = 2W like the reference
@@ -101,7 +67,10 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
 
     # --- stay candidates (W): blank transition + same-token merge --------
     stay_pb = total + lp_blank
-    lp_last = jnp.where(last >= 0, logp_t[jnp.clip(last, 0, V - 1)], NEG_INF)
+    lp_last_rows = jnp.dot(
+        jax.nn.one_hot(jnp.clip(last, 0, V - 1), V, dtype=jnp.float32),
+        logp_t, precision="highest")                                # (W,)
+    lp_last = jnp.where(last >= 0, lp_last_rows, NEG_INF)
     stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG_INF)
     stay_parent = jnp.arange(W)
     stay_tok = jnp.full((W,), -1)                      # -1 = no extension
@@ -113,22 +82,45 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
     is_blank = tok == blank_id
     is_repeat = tok == last[:, None]
     ext_pnb = jnp.where(is_repeat, p_b[:, None] + lp, total[:, None] + lp)
+    # One-hot matmuls instead of gathers throughout the LM fusion: batched
+    # dynamic gathers under vmap are the single slowest primitive on TPU
+    # (measured: ARPA fusion via row gathers tripled the whole beam step).
+    # The candidate token set is shared across beams (top_tok), so the
+    # (W, V) row lookup and the (W, K) column pick both become small MXU
+    # matmuls against one-hot matrices.
+    oh_tok_t = None
+    if lm_bias is not None or lm_tables is not None:
+        oh_tok_t = jax.nn.one_hot(top_tok, V, dtype=jnp.float32).T  # (V, K)
     if lm_bias is not None:
         # Shallow fusion on prefix extension — like the reference, LM score
         # is added only on the different-token extend case
         # (/root/reference/utils/decoding.py:261-263).
-        lm_rows = lm_bias[jnp.clip(last + 1, 0, lm_bias.shape[0] - 1)]  # (W, V)
-        lm = jnp.take_along_axis(lm_rows, jnp.clip(tok, 0, V - 1), axis=1)
+        S = lm_bias.shape[0]
+        oh_ctx = jax.nn.one_hot(jnp.clip(last + 1, 0, S - 1), S,
+                                dtype=jnp.float32)                  # (W, S)
+        # precision='highest': default TPU f32 matmul rounds through
+        # bf16 (8-bit mantissa) — not exact enough for LM score parity.
+        lm_rows = jnp.dot(oh_ctx, lm_bias, precision="highest")     # (W, V)
+        lm = jnp.dot(lm_rows, oh_tok_t, precision="highest")        # (W, K)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
     if lm_tables is not None:
-        # Exact ARPA backoff fusion: each beam carries an int32 LM state;
-        # the conditional log10-prob of every candidate token is one gather
+        # Exact ARPA backoff fusion: each beam carries an int32 LM state
         # (decode/lm.build_arpa_fusion_tables). Applied on different-token
-        # extensions only, like the reference's KenLM branch.
+        # extensions only, like the reference's KenLM branch. Above a few
+        # thousand LM states the one-hot matmul's O(W*S) work loses to the
+        # gather and the row lookup falls back.
         score_t, _ = lm_tables
-        lm_rows = score_t[lm_state]                                  # (W, V)
-        lm = jnp.take_along_axis(lm_rows, jnp.clip(tok, 0, V - 1), axis=1)
+        S = score_t.shape[0]
+        if S <= 4096:
+            oh_state = jax.nn.one_hot(lm_state, S, dtype=jnp.float32)
+            # precision='highest': bf16 matmul passes would round the
+            # picked scores (and, below, integer state ids > 256).
+            lm_rows = jnp.dot(oh_state, score_t,
+                              precision="highest")                  # (W, V)
+        else:
+            lm_rows = score_t[lm_state]
+        lm = jnp.dot(lm_rows, oh_tok_t, precision="highest")        # (W, K)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
     ext_pnb = jnp.where(is_blank, NEG_INF, ext_pnb)
@@ -149,16 +141,39 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
     ext_h1 = jnp.where(parent_dead, dummy, ext_h1)
     ext_h2 = jnp.where(parent_dead, dummy, ext_h2)
 
-    # --- pool, merge, select ----------------------------------------------
-    c_h1 = jnp.concatenate([stay_h1, ext_h1.reshape(-1)])
-    c_h2 = jnp.concatenate([stay_h2, ext_h2.reshape(-1)])
-    c_pb = jnp.concatenate([stay_pb, ext_pb.reshape(-1)])
-    c_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-    c_parent = jnp.concatenate([stay_parent, ext_parent.reshape(-1)])
-    c_tok = jnp.concatenate([stay_tok, tok.reshape(-1)])
+    # --- merge, select ----------------------------------------------------
+    # Structural fact that replaces a full sort-merge: live beams are
+    # pairwise-distinct prefixes, so two EXTEND candidates can never be
+    # equal (equal results need the same parent prefix and same token),
+    # and two STAY candidates can never be equal. The only possible merge
+    # is stay(prefix P) with extend(parent, t) where parent + t == P.
+    # A (W, W*K) double-hash equality match therefore performs the exact
+    # dict-merge of the reference without sorting 6 payload arrays over
+    # W*(K+1) candidates (with the traceback + gather-free LM fusion:
+    # 4.2k -> 8k+ RTFx at beam-16/B=128 on v5e).
+    e_h1 = ext_h1.reshape(-1)
+    e_h2 = ext_h2.reshape(-1)
+    e_pnb = ext_pnb.reshape(-1)
+    eq = ((stay_h1[:, None] == e_h1[None, :])
+          & (stay_h2[:, None] == e_h2[None, :]))         # (W, W*K)
+    stay_matched = jnp.any(eq, axis=1)                   # (W,)
+    # Fold the matched stay's mass into the extend (extend pb is -inf).
+    # Masked max over the W stay rows instead of a gather: at most one
+    # row matches, and batched dynamic gathers are slow on TPU (see the
+    # payload-sort note in git history for the measured pitfall).
+    m_e_pb = jnp.max(jnp.where(eq, stay_pb[:, None], NEG_INF), axis=0)
+    m_e_pnb = _lse(e_pnb, jnp.max(jnp.where(eq, stay_pnb[:, None], NEG_INF),
+                                  axis=0))
+    # Matched stays are disabled (their mass lives in the extend now).
+    m_s_pb = jnp.where(stay_matched, NEG_INF, stay_pb)
+    m_s_pnb = jnp.where(stay_matched, NEG_INF, stay_pnb)
 
-    m_h1, m_h2, m_pb, m_pnb, m_parent, m_tok = _merge_candidates(
-        c_h1, c_h2, c_pb, c_pnb, c_parent, c_tok)
+    m_h1 = jnp.concatenate([stay_h1, e_h1])
+    m_h2 = jnp.concatenate([stay_h2, e_h2])
+    m_pb = jnp.concatenate([m_s_pb, m_e_pb])
+    m_pnb = jnp.concatenate([m_s_pnb, m_e_pnb])
+    m_parent = jnp.concatenate([stay_parent, ext_parent.reshape(-1)])
+    m_tok = jnp.concatenate([stay_tok, tok.reshape(-1)])
 
     score = _lse(m_pb, m_pnb)
     top_score, top_idx = jax.lax.top_k(score, W)
@@ -170,35 +185,43 @@ def _beam_step(state, logp_t, active, beam_width, blank_id, L,
     sel_parent = m_parent[top_idx]
     sel_tok = m_tok[top_idx]
 
-    n_prefixes = prefixes[sel_parent]                   # (W, L)
-    n_lengths = lengths[sel_parent]
-    n_last = last[sel_parent]
     extended = sel_tok >= 0
+    n_last = jnp.where(extended, sel_tok, last[sel_parent])
     n_lm_state = lm_state[sel_parent]
     if lm_tables is not None:
         # LM state advances on EVERY extension (including repeat-token
         # extends that add no LM score) — the reference recomputes its
         # context from the full prefix, which includes those tokens.
         _, next_t = lm_tables
-        stepped = next_t[n_lm_state, jnp.clip(sel_tok, 0, next_t.shape[1] - 1)]
+        S = next_t.shape[0]
+        tok_c = jnp.clip(sel_tok, 0, next_t.shape[1] - 1)
+        if S <= 4096:
+            # gather-free: row pick via one-hot matmul, column pick via a
+            # masked row-wise sum
+            rows = jnp.dot(jax.nn.one_hot(n_lm_state, S,
+                                          dtype=jnp.float32),
+                           next_t.astype(jnp.float32),
+                           precision="highest")                     # (W, V)
+            stepped = jnp.sum(
+                rows * jax.nn.one_hot(tok_c, next_t.shape[1],
+                                      dtype=jnp.float32),
+                axis=1).astype(jnp.int32)
+        else:
+            stepped = next_t[n_lm_state, tok_c]
         n_lm_state = jnp.where(extended, stepped, n_lm_state)
-    # Extensions past max_prefix_len spill into an overflow column that is
-    # sliced away (documented truncation) rather than overwriting L-1.
-    write_pos = jnp.where(extended & (n_lengths < L), n_lengths, L)
-    rows = jnp.arange(W)
-    padded = jnp.pad(n_prefixes, ((0, 0), (0, 1)))
-    padded = padded.at[rows, write_pos].set(
-        jnp.where(extended, sel_tok, padded[rows, write_pos]))
-    n_prefixes = padded[:, :L]
-    n_lengths = jnp.where(extended, jnp.minimum(n_lengths + 1, L), n_lengths)
-    n_last = jnp.where(extended, sel_tok, n_last)
 
-    new_state = (n_prefixes, n_lengths, n_last, n_pb, n_pnb, n_h1, n_h2,
-                 n_lm_state)
+    new_state = (n_last, n_pb, n_pnb, n_h1, n_h2, n_lm_state)
     # Frames past the utterance end freeze the state (scalar `active`
     # broadcasts against every state tensor).
-    return jax.tree.map(lambda new, old: jnp.where(active, new, old),
-                        new_state, state)
+    new_state = jax.tree.map(lambda new, old: jnp.where(active, new, old),
+                             new_state, state)
+    # Traceback record: no (W, L) prefix buffer rides the scan — prefixes
+    # are reconstructed ONCE at the end from these per-step links, which
+    # removes the per-step (W, L) gather+scatter entirely. Frozen frames
+    # record identity links so chains pass through unchanged.
+    y_parent = jnp.where(active, sel_parent, jnp.arange(W))
+    y_tok = jnp.where(active, sel_tok, -1)
+    return new_state, (y_parent, y_tok)
 
 
 def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
@@ -207,8 +230,6 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     T, V = logp.shape
     W, L = beam_width, max_prefix_len
 
-    prefixes = jnp.zeros((W, L), dtype=jnp.int32)
-    lengths = jnp.zeros((W,), dtype=jnp.int32)
     last = jnp.full((W,), -1, dtype=jnp.int32)
     p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
     p_nb = jnp.full((W,), NEG_INF)
@@ -220,24 +241,42 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     h1 = -jnp.arange(W, dtype=jnp.int32)
     h2 = -jnp.arange(W, dtype=jnp.int32)
     lm_state = jnp.full((W,), lm_start_state, dtype=jnp.int32)
-    state = (prefixes, lengths, last, p_b, p_nb, h1, h2, lm_state)
+    state = (last, p_b, p_nb, h1, h2, lm_state)
 
     def step(state, t):
         active = t < length
-        new_state = _beam_step(state, logp[t], active, W, blank_id, L,
-                               lm_bias=lm_bias, lm_weight=lm_weight,
-                               lm_tables=lm_tables)
-        return new_state, None
+        return _beam_step(state, logp[t], active, W, blank_id,
+                          lm_bias=lm_bias, lm_weight=lm_weight,
+                          lm_tables=lm_tables)
 
-    state, _ = jax.lax.scan(step, state, jnp.arange(T))
-    prefixes, lengths, last, p_b, p_nb, _, _, _ = state
+    state, (parents, toks) = jax.lax.scan(step, state, jnp.arange(T))
+    _, p_b, p_nb, _, _, _ = state
     scores = _lse(p_b, p_nb)
+
+    def backtrace(final_idx):
+        """Follow (parent, token) links backwards from a final beam and
+        left-pack the emitted tokens -> (ids (L,), count)."""
+        def bstep(cur, t):
+            return parents[t, cur], toks[t, cur]
+        _, toks_rev = jax.lax.scan(bstep, final_idx,
+                                   jnp.arange(T - 1, -1, -1))
+        tf = toks_rev[::-1]                          # (T,) forward order
+        emitted = tf >= 0
+        pos = jnp.cumsum(emitted) - 1
+        count = jnp.minimum(emitted.sum(), L).astype(jnp.int32)
+        # Tokens beyond L and non-emitted frames land in dump slot L
+        # (sliced away) — same truncation contract as the old carried
+        # (W, L) buffer.
+        slot = jnp.where(emitted & (pos < L), pos, L)
+        buf = jnp.zeros((L + 1,), jnp.int32).at[slot].set(tf)
+        return buf[:L], count
+
     if return_all_beams:
         # All W beams + scores: callers apply the reference's final
         # word-count bonus (beta) as a host-side rerank over these.
-        return prefixes, lengths, scores
-    best = jnp.argmax(scores)
-    return prefixes[best], lengths[best]
+        ids, counts = jax.vmap(backtrace)(jnp.arange(W))
+        return ids, counts, scores
+    return backtrace(jnp.argmax(scores))
 
 
 @partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len",
