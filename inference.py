@@ -289,12 +289,13 @@ class ASRInference:
                     w = waveforms[idx]
                     wav[j, :w.shape[0]] = w
                     lens[j] = w.shape[0]
-                wav_dev, lens_dev = jnp.asarray(wav), jnp.asarray(lens)
                 if self._mesh is not None:
                     from turkish_asr_tpu.parallel.mesh import shard_batch
                     sharded = shard_batch(self._mesh,
                                           {"w": wav, "l": lens})
                     wav_dev, lens_dev = sharded["w"], sharded["l"]
+                else:
+                    wav_dev, lens_dev = jnp.asarray(wav), jnp.asarray(lens)
                 logits, out_lens = self._forward_batch(
                     self.params, self.model_state, wav_dev, lens_dev)
                 if self.use_beam_search and self.decoder is not None:

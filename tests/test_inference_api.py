@@ -116,7 +116,6 @@ def test_data_parallel_batched_matches_single(asr, wav_dir, tmp_path_factory):
     from inference import ASRInference
     assert asr._mesh is not None  # conftest provides 8 devices
     # rebuild an unsharded engine from the same checkpoint
-    import glob
     d = tmp_path_factory.mktemp("inf2")
     # reuse the asr fixture's params by saving them again
     save_checkpoint_file(str(d / "m.ckpt"), {"model_config": {

@@ -69,11 +69,10 @@ class DeviceBeamDecoder:
         elif self.lm_bias is not None:
             kwargs = {"lm_bias": self.lm_bias,
                       "lm_weight": self.lm_weight}
-        # Cap the carried prefix buffer: CTC emits at most one token per
-        # frame, but realistic transcripts are far shorter than T, and the
-        # scan re-gathers a (W, L) buffer each step — a 512 cap cuts HBM
-        # traffic ~an order of magnitude on long utterances (overflow
-        # tokens spill into a discarded column; documented truncation).
+        # Cap the reconstructed-prefix buffer: no token buffer rides the
+        # beam scan anymore (traceback links), so this only bounds the
+        # backtrace output shape; realistic transcripts are far shorter
+        # than T and overflow tokens are dropped (documented truncation).
         T = x.shape[1]
         kwargs["max_prefix_len"] = min(T, 512)
         if self.word_bonus > 0:

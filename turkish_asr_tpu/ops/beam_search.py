@@ -54,6 +54,26 @@ def _hash_step(h, tok, p, m):
     return out.astype(jnp.int32)
 
 
+
+# Measured crossover for table-row lookup inside the beam scan: below this
+# many rows a one-hot matmul (precision=highest for exactness) beats the
+# batched dynamic gather — the slowest primitive on TPU; above it the
+# O(W*S) one-hot work loses.
+_ONEHOT_LOOKUP_MAX_ROWS = 4096
+
+
+def _row_lookup(table, idx):
+    """table[idx] for a (S, V) table and (W,) int rows, gather-free when
+    S is small. Exact: one-hot matmuls run at precision='highest' (default
+    TPU f32 matmuls round through bf16 — wrong for scores and for integer
+    payloads > 256)."""
+    S = table.shape[0]
+    if S <= _ONEHOT_LOOKUP_MAX_ROWS:
+        oh = jax.nn.one_hot(idx, S, dtype=jnp.float32)
+        return jnp.dot(oh, table.astype(jnp.float32), precision="highest")
+    return table[idx].astype(jnp.float32)
+
+
 def _beam_step(state, logp_t, active, beam_width, blank_id,
                lm_bias=None, lm_weight=0.3, lm_tables=None):
     last, p_b, p_nb, h1, h2, lm_state = state
@@ -96,11 +116,8 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # is added only on the different-token extend case
         # (/root/reference/utils/decoding.py:261-263).
         S = lm_bias.shape[0]
-        oh_ctx = jax.nn.one_hot(jnp.clip(last + 1, 0, S - 1), S,
-                                dtype=jnp.float32)                  # (W, S)
-        # precision='highest': default TPU f32 matmul rounds through
-        # bf16 (8-bit mantissa) — not exact enough for LM score parity.
-        lm_rows = jnp.dot(oh_ctx, lm_bias, precision="highest")     # (W, V)
+        lm_rows = _row_lookup(lm_bias,
+                              jnp.clip(last + 1, 0, S - 1))         # (W, V)
         lm = jnp.dot(lm_rows, oh_tok_t, precision="highest")        # (W, K)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
@@ -111,15 +128,7 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # thousand LM states the one-hot matmul's O(W*S) work loses to the
         # gather and the row lookup falls back.
         score_t, _ = lm_tables
-        S = score_t.shape[0]
-        if S <= 4096:
-            oh_state = jax.nn.one_hot(lm_state, S, dtype=jnp.float32)
-            # precision='highest': bf16 matmul passes would round the
-            # picked scores (and, below, integer state ids > 256).
-            lm_rows = jnp.dot(oh_state, score_t,
-                              precision="highest")                  # (W, V)
-        else:
-            lm_rows = score_t[lm_state]
+        lm_rows = _row_lookup(score_t, lm_state)                    # (W, V)
         lm = jnp.dot(lm_rows, oh_tok_t, precision="highest")        # (W, K)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
@@ -193,21 +202,14 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # extends that add no LM score) — the reference recomputes its
         # context from the full prefix, which includes those tokens.
         _, next_t = lm_tables
-        S = next_t.shape[0]
         tok_c = jnp.clip(sel_tok, 0, next_t.shape[1] - 1)
-        if S <= 4096:
-            # gather-free: row pick via one-hot matmul, column pick via a
-            # masked row-wise sum
-            rows = jnp.dot(jax.nn.one_hot(n_lm_state, S,
-                                          dtype=jnp.float32),
-                           next_t.astype(jnp.float32),
-                           precision="highest")                     # (W, V)
-            stepped = jnp.sum(
-                rows * jax.nn.one_hot(tok_c, next_t.shape[1],
-                                      dtype=jnp.float32),
-                axis=1).astype(jnp.int32)
-        else:
-            stepped = next_t[n_lm_state, tok_c]
+        rows = _row_lookup(next_t, n_lm_state)                      # (W, V)
+        # column pick via a masked row-wise sum (state-id payloads are
+        # exact in f32 up to 2^24)
+        stepped = jnp.sum(
+            rows * jax.nn.one_hot(tok_c, next_t.shape[1],
+                                  dtype=jnp.float32),
+            axis=1).astype(jnp.int32)
         n_lm_state = jnp.where(extended, stepped, n_lm_state)
 
     new_state = (n_last, n_pb, n_pnb, n_h1, n_h2, n_lm_state)

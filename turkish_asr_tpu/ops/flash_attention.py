@@ -48,7 +48,12 @@ def make_flash_attention(block_q=None, min_seq_len=MIN_KERNEL_SEQ_LEN):
         bq = block_q
         if bq is None:
             budget = 8 * 1024 * 1024 // (4 * T)       # fp32 score-tile rows
-            bq = max(128, min(512, (budget // 128) * 128))
+            bq = min(512, (budget // 64) * 64)
+            if bq < 64:
+                # T so long that even a 64-row tile blows the budget
+                # (T > 32k frames ~ 21 min of audio in one window):
+                # decline rather than spill VMEM; einsum path handles it.
+                return None
         return flash_attention(q, k, v, mask, block_q=bq)
 
     return kernel
