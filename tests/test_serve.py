@@ -172,3 +172,41 @@ def test_http_round_trip(service, wav_file):
         payload = json.loads(r.read())
     assert "text" in payload and payload["duration_ms"] > 0
     holder["server"].shutdown()
+
+
+def test_micro_batching_concurrent_requests(tiny_ckpt, wav_file, monkeypatch):
+    """Concurrent /transcribe requests collapse into shared batched
+    forwards, with per-request results identical to the unbatched path."""
+    import threading
+
+    monkeypatch.setenv("ASR_BATCH_WINDOW_MS", "50")
+    monkeypatch.setenv("ASR_MAX_BATCH", "8")
+    monkeypatch.setenv("ASR_MODEL_PATH", tiny_ckpt)
+    svc = ASRService(ServerConfig(), warmup=False)
+    assert svc.batcher is not None
+
+    calls = []
+    real = svc.asr.transcribe_files
+
+    def counting(paths, *a, **kw):
+        calls.append(len(paths))
+        return real(paths, *a, **kw)
+
+    svc.asr.transcribe_files = counting
+    want = svc.asr.transcribe(wav_file)
+    with open(wav_file, "rb") as f:
+        content = f.read()
+
+    results = [None] * 6
+    def worker(i):
+        results[i] = svc.transcribe_upload(f"r{i}.wav", content)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for status, payload in results:
+        assert status == 200, payload
+        assert payload["text"] == want
+    # 6 requests must have shared batches: fewer calls than requests
+    assert sum(calls) == 6 and len(calls) < 6, calls

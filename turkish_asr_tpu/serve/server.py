@@ -12,6 +12,10 @@ Transport: FastAPI+uvicorn when installed; otherwise a dependency-free
 stdlib ThreadingHTTPServer speaking the same routes/payloads (this image
 has neither fastapi nor uvicorn). The model is warmed at startup with one
 dummy transcription so the first request doesn't pay XLA compile time.
+
+Additive: ASR_BATCH_WINDOW_MS > 0 enables cross-request micro-batching
+(MicroBatcher) — concurrent /transcribe requests share bucket-collated
+batched forwards; ASR_MAX_BATCH caps the batch.
 """
 
 import io
@@ -19,9 +23,67 @@ import json
 import os
 import re
 import tempfile
+import threading
 import time
 
 ALLOWED_EXTENSIONS = {".wav", ".mp3", ".flac", ".ogg", ".m4a"}
+
+
+class MicroBatcher:
+    """Cross-request dynamic batching for POST /transcribe.
+
+    Concurrent single-file requests are collected for up to ``window_ms``
+    (or until ``max_batch`` accumulate) and run through ONE bucket-collated
+    batched forward (inference.transcribe_files) — per-request device work
+    collapses into shared batches under load, the way the batched
+    BASELINE workloads run. Each request thread blocks until its slot is
+    filled, so request/response semantics are unchanged.
+
+    Additive capability (the reference serves strictly one forward per
+    request); disabled by default — enable with ASR_BATCH_WINDOW_MS > 0.
+    """
+
+    def __init__(self, asr, window_ms, max_batch=16):
+        self.asr = asr
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._cond = threading.Condition()
+        self._pending = []
+        self._runner = threading.Thread(target=self._loop, daemon=True)
+        self._runner.start()
+
+    def submit(self, path, timeout=300.0):
+        """Blocks until the batch containing this request completes.
+        Returns (text, error-or-None)."""
+        slot = {"path": path, "event": threading.Event(),
+                "text": "", "error": None}
+        with self._cond:
+            self._pending.append(slot)
+            self._cond.notify()
+        if not slot["event"].wait(timeout):
+            return "", "transcription timed out"
+        return slot["text"], slot["error"]
+
+    def _loop(self):
+        while True:
+            with self._cond:
+                while not self._pending:
+                    self._cond.wait()
+                # batching window: let concurrent requests pile up
+                if self.window > 0 and len(self._pending) < self.max_batch:
+                    self._cond.wait(timeout=self.window)
+                batch = self._pending[:self.max_batch]
+                del self._pending[:len(batch)]
+            try:
+                texts, errors = self.asr.transcribe_files(
+                    [s["path"] for s in batch], return_errors=True)
+                for s, t, e in zip(batch, texts, errors):
+                    s["text"], s["error"] = t, e
+            except Exception as e:  # noqa: BLE001 — fail the whole batch
+                for s in batch:
+                    s["error"] = str(e)
+            for s in batch:
+                s["event"].set()
 
 
 class ServerConfig:
@@ -38,6 +100,10 @@ class ServerConfig:
         self.TOKENIZER_PATH = os.environ.get("ASR_TOKENIZER_PATH") or None
         self.HOST = os.environ.get("ASR_HOST", "0.0.0.0")
         self.PORT = int(os.environ.get("ASR_PORT", "8000"))
+        # Cross-request micro-batching (additive; 0 = off, reference-like
+        # one-forward-per-request behavior).
+        self.BATCH_WINDOW_MS = float(os.environ.get("ASR_BATCH_WINDOW_MS", "0"))
+        self.MAX_BATCH = int(os.environ.get("ASR_MAX_BATCH", "16"))
 
 
 class ASRService:
@@ -46,6 +112,7 @@ class ASRService:
     def __init__(self, config=None, warmup=True):
         self.config = config or ServerConfig()
         self.asr = None
+        self.batcher = None
         if os.path.exists(self.config.MODEL_PATH):
             try:
                 from inference import ASRInference
@@ -60,6 +127,15 @@ class ASRService:
                     tokenizer_path=self.config.TOKENIZER_PATH,
                 )
                 print("Model loaded successfully!")
+                self.batcher = None
+                if self.config.BATCH_WINDOW_MS > 0 and hasattr(
+                        self.asr, "transcribe_files"):
+                    self.batcher = MicroBatcher(
+                        self.asr, self.config.BATCH_WINDOW_MS,
+                        self.config.MAX_BATCH)
+                    print(f"Micro-batching: window "
+                          f"{self.config.BATCH_WINDOW_MS} ms, max batch "
+                          f"{self.config.MAX_BATCH}")
                 if warmup:
                     self._warmup()
             except Exception as e:  # noqa: BLE001 — serve anyway (reference)
@@ -104,7 +180,12 @@ class ASRService:
             return 500, {"detail": f"Failed to save file: {e}"}
         try:
             start = time.time()
-            text = self.asr.transcribe(tmp_path)
+            if self.batcher is not None:
+                text, err = self.batcher.submit(tmp_path)
+                if err is not None:
+                    return 500, {"detail": f"Transcription failed: {err}"}
+            else:
+                text = self.asr.transcribe(tmp_path)
             duration_ms = (time.time() - start) * 1000
             return 200, {"text": text, "duration_ms": duration_ms}
         except Exception as e:  # noqa: BLE001
