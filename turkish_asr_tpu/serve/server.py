@@ -287,6 +287,7 @@ def build_fastapi_app(service):
     from typing import List
 
     from fastapi import FastAPI, File, UploadFile, HTTPException
+    from fastapi.concurrency import run_in_threadpool
 
     app = FastAPI(title="Turkish ASR API",
                   description="Automatic Speech Recognition API for Turkish language (TPU)",
@@ -297,10 +298,15 @@ def build_fastapi_app(service):
         _, payload = service.health()
         return payload
 
+    # Blocking service calls run in the threadpool: awaiting them inline
+    # would block the event loop, serializing concurrent requests (and
+    # starving the MicroBatcher of anything to batch).
+
     @app.post("/transcribe")
     async def transcribe_audio(file: UploadFile = File(...)):
         content = await file.read()
-        status, payload = service.transcribe_upload(file.filename, content)
+        status, payload = await run_in_threadpool(
+            service.transcribe_upload, file.filename, content)
         if status != 200:
             raise HTTPException(status_code=status, detail=payload["detail"])
         return payload
@@ -308,7 +314,8 @@ def build_fastapi_app(service):
     @app.post("/transcribe/batch")
     async def transcribe_batch(files: List[UploadFile] = File(...)):
         uploads = [(f.filename, await f.read()) for f in files]
-        status, payload = service.transcribe_batch(uploads)
+        status, payload = await run_in_threadpool(
+            service.transcribe_batch, uploads)
         if status != 200:
             raise HTTPException(status_code=status, detail=payload["detail"])
         return payload
