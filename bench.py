@@ -219,13 +219,15 @@ def _synthetic_arpa(tokenizer, path):
     toks = [tokenizer.decode([v]).strip() or f"tk{v}"
             for v in range(2, min(tokenizer.vocab_size, 40))]
     uni = [(t, float(-1 - rng.random())) for t in toks]
-    bi, tri = [], []
+    # Dedup BEFORE the header: strict ARPA consumers (kenlm tools) reject
+    # files whose \data\ counts overstate the body.
+    bi, tri = {}, {}
     for _ in range(400):
         a, b = rng.choice(toks, 2)
-        bi.append(((a, b), float(-rng.random())))
+        bi[(a, b)] = float(-rng.random())
     for _ in range(600):
         a, b, c = rng.choice(toks, 3)
-        tri.append(((a, b, c), float(-rng.random())))
+        tri[(a, b, c)] = float(-rng.random())
     with open(path, "w") as f:
         f.write("\\data\\\n")
         f.write(f"ngram 1={len(uni) + 3}\nngram 2={len(bi)}\n"
@@ -234,10 +236,10 @@ def _synthetic_arpa(tokenizer, path):
         for t, lp in uni:
             f.write(f"{lp:.4f}\t{t}\t-0.3\n")
         f.write("\n\\2-grams:\n")
-        for (a, b), lp in {k: v for k, v in bi}.items():
+        for (a, b), lp in bi.items():
             f.write(f"{lp:.4f}\t{a} {b}\t-0.2\n")
         f.write("\n\\3-grams:\n")
-        for (a, b, c), lp in {k: v for k, v in tri}.items():
+        for (a, b, c), lp in tri.items():
             f.write(f"{lp:.4f}\t{a} {b} {c}\n")
         f.write("\n\\end\\\n")
 

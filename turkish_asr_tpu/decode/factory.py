@@ -75,7 +75,7 @@ class DeviceBeamDecoder:
         # than T and overflow tokens are dropped (documented truncation).
         T = x.shape[1]
         kwargs["max_prefix_len"] = min(T, 512)
-        if self.word_bonus > 0:
+        if self.word_bonus != 0:
             ids, counts, scores = ctc_beam_search(
                 x, lens, beam_width=self.beam_width,
                 blank_id=self.blank_id, return_all_beams=True, **kwargs)
@@ -136,16 +136,21 @@ class FlashlightDecoder:
             if tables is not None:
                 # Batched on-device beam with exact ARPA fusion — the
                 # native high-performance LM-fused configuration.
+                # word_score (reference default -1.0, an insertion
+                # *penalty*) maps onto the device beam's per-word rerank
+                # term so callers tuning it keep the same-sign length bias.
                 self._impl = DeviceBeamDecoder(tokenizer,
                                                beam_width=min(beam_size, 32),
                                                lm_tables=tables,
-                                               lm_weight=lm_weight)
+                                               lm_weight=lm_weight,
+                                               word_bonus=word_score)
             else:
                 self._impl = CTCBeamDecoder(tokenizer, beam_width=beam_size,
                                             lm=lm, lm_weight=lm_weight)
         else:
             self._impl = DeviceBeamDecoder(tokenizer,
-                                           beam_width=min(beam_size, 32))
+                                           beam_width=min(beam_size, 32),
+                                           word_bonus=word_score)
 
     def decode(self, logits, length=None):
         return self._impl.decode(logits, length)

@@ -159,18 +159,28 @@ def tokenizer_is_word_granular(tokenizer, vocab_size, n_probe=8):
     merge-style BPE tokenizers (which join tokens without separators)
     fail the probe, and callers should prefer the host beam for LM
     fusion parity there.
+
+    Probe ids are spread across the FULL vocab range (not just the first
+    decodable ids): vocabularies whose early ids are whole-word specials
+    would otherwise pass while later merge-style pieces join without
+    spaces.
     """
     probed = 0
-    ids = []
-    for v in range(vocab_size):
-        try:
-            t = tokenizer.decode([v])
-        except Exception:  # noqa: BLE001
-            continue
-        if t.strip():
-            ids.append(v)
-        if len(ids) >= 2 * n_probe:
-            break
+    want = 2 * n_probe
+    ids, seen = [], set()
+    for k in range(want):
+        anchor = (k * vocab_size) // want
+        for v in range(anchor, vocab_size):
+            if v in seen:
+                continue
+            try:
+                t = tokenizer.decode([v])
+            except Exception:  # noqa: BLE001
+                continue
+            if t.strip():
+                ids.append(v)
+                seen.add(v)
+                break
     for a, b in zip(ids[0::2], ids[1::2]):
         try:
             joint = tokenizer.decode([a, b])

@@ -69,9 +69,17 @@ class MicroBatcher:
             with self._cond:
                 while not self._pending:
                     self._cond.wait()
-                # batching window: let concurrent requests pile up
-                if self.window > 0 and len(self._pending) < self.max_batch:
-                    self._cond.wait(timeout=self.window)
+                # batching window: let concurrent requests pile up. Loop on
+                # a deadline — each submit() notify wakes the wait, so a
+                # single wait(window) would drain after the FIRST arrival
+                # and a steady trickle would yield ~2-request batches.
+                if self.window > 0:
+                    deadline = time.monotonic() + self.window
+                    while len(self._pending) < self.max_batch:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cond.wait(timeout=remaining)
                 batch = self._pending[:self.max_batch]
                 del self._pending[:len(batch)]
             try:
