@@ -30,6 +30,25 @@ from turkish_asr_tpu.decode.lm import KenLMModel, NGramLanguageModel
 from turkish_asr_tpu.train.checkpoint import load_checkpoint_file
 
 
+def _check_vocab_match(n_classes, tokenizer, model_path):
+    """Fail loudly when the checkpoint's output vocabulary disagrees with
+    the tokenizer: a checkpoint trained with the HF vocab decoded through
+    the offline char fallback (or vice versa) silently produces garbage —
+    the ids argmax/beam emit index a different symbol table. The reference
+    never hits this because it always re-downloads the same hub tokenizer
+    (/root/reference/data/tokenizer.py:10-11); our hermetic fallback makes
+    the mismatch reachable, so it must be an error, not noise."""
+    vs = getattr(tokenizer, "vocab_size", None)
+    if vs is not None and int(vs) != int(n_classes):
+        raise ValueError(
+            f"Checkpoint/tokenizer vocabulary mismatch: {model_path} was "
+            f"trained with n_classes={int(n_classes)} but the loaded "
+            f"tokenizer ({getattr(tokenizer, 'backend', '?')}) has "
+            f"vocab_size={int(vs)}. Decoding would emit garbage. Pass the "
+            f"tokenizer the model was trained with via --tokenizer_path / "
+            f"ASR_TOKENIZER_PATH.")
+
+
 class ASRInference:
     """ASR inference pipeline.
 
@@ -66,6 +85,7 @@ class ASRInference:
             from turkish_asr_tpu.utils.torch_import import load_torch_checkpoint
             self.cfg, self.params, self.model_state = load_torch_checkpoint(
                 model_path, n_heads=n_heads, allow_pickle=trust_checkpoint)
+            _check_vocab_match(self.cfg.n_classes, self.tokenizer, model_path)
         else:
             ckpt = load_checkpoint_file(model_path)
             meta = ckpt.get("meta", {}) or {}
@@ -79,6 +99,9 @@ class ASRInference:
                 dropout=0.0,
                 masked_norm=bool(mc.get("masked_norm", False)),
             )
+            if "n_classes" in mc:
+                _check_vocab_match(int(mc["n_classes"]), self.tokenizer,
+                                   model_path)
             params = ckpt.get("params") or {}
             if not params:
                 raise ValueError(f"No params found in checkpoint: {model_path}")

@@ -91,14 +91,19 @@ def test_loss_decreases_and_checkpoints(corpus, tmp_path):
 def test_resume_restores_counters(corpus, tmp_path):
     trainer, config = _build(corpus, tmp_path, epochs=2)
     trainer.train_epoch(1)
-    trainer.global_step = 17
     trainer.best_val_loss = 1.23
+    # save_checkpoint syncs global_step from the device opt state (the
+    # host mirror can't be hand-poked out of step anymore).
     trainer.save_checkpoint(1)
+    saved_step = trainer.global_step
+    assert saved_step > 0
 
     trainer2, _ = _build(corpus, tmp_path, epochs=2, resume=True)
     trainer2.load_checkpoint()
     assert trainer2.start_epoch == 2
-    assert trainer2.global_step == 17
+    assert trainer2.global_step == saved_step
+    trainer2.sync_global_step()  # restored opt state agrees with meta
+    assert trainer2.global_step == saved_step
     assert abs(trainer2.best_val_loss - 1.23) < 1e-9
     # params restored identically
     p1 = jax.tree.leaves(trainer.params)

@@ -61,6 +61,8 @@ class ASRDataset:
         speed_perturb=False,
         noise_dir=None,
         seed=None,
+        spec_augment_freq=27,
+        spec_augment_time=100,
     ):
         self.file_pairs = file_pairs
         self.tokenizer = tokenizer
@@ -70,7 +72,13 @@ class ASRDataset:
         self.preprocessor = AudioPreprocessor(n_mels=n_mel_channels, normalize=True)
         self.speed_perturb = SpeedPerturbation(rng=rng) if speed_perturb else None
         self.noise_perturb = NoisePerturbation(noise_dir=noise_dir, rng=rng) if noise_dir else None
-        self.spec_augment = SpecAugment(rng=rng) if augment else None
+        # --spec_augment_freq/time reach BOTH SpecAugment paths (the
+        # reference parses but ignores them, config.py:52-53 vs
+        # dataset.py:70-75; the on-device path plumbs them in trainer.py).
+        self.spec_augment = SpecAugment(
+            freq_mask_param=spec_augment_freq,
+            time_mask_param=spec_augment_time,
+            rng=rng) if augment else None
 
     def __len__(self):
         return len(self.file_pairs)
@@ -217,6 +225,8 @@ def create_datasets(config, tokenizer, augment_train=True):
         train_pairs, tokenizer, n_mels,
         augment=augment_train, speed_perturb=speed,
         noise_dir=noise_dir, seed=seed,
+        spec_augment_freq=getattr(config, "spec_augment_freq", 27),
+        spec_augment_time=getattr(config, "spec_augment_time", 100),
     ) if train_pairs else None
     valid_dataset = ASRDataset(valid_pairs, tokenizer, n_mels, augment=False) if valid_pairs else None
     test_dataset = ASRDataset(test_pairs, tokenizer, n_mels, augment=False) if test_pairs else None
