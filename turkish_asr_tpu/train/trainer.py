@@ -288,6 +288,23 @@ class Trainer:
     # ------------------------------------------------------------------
     def save_checkpoint(self, epoch, name=None, is_best=False):
         self.sync_global_step()
+        params, model_state, opt_state = (
+            self.params, self.model_state, self.opt_state)
+        if jax.process_count() > 1:
+            # Single writer: every process used to os.replace the same
+            # file concurrently (a race on shared filesystems). All
+            # processes participate in fetching (model-sharded leaves live
+            # on other hosts; replication is a collective), then only
+            # process 0 touches the filesystem.
+            rep = replicated_sharding(self.mesh)
+            params = jax.tree.map(np.asarray, jax.device_put(params, rep))
+            model_state = jax.tree.map(
+                np.asarray, jax.device_put(model_state, rep))
+            opt_state = jax.tree.map(
+                lambda x: np.asarray(jax.device_put(x, rep))
+                if hasattr(x, "sharding") else x, opt_state)
+            if jax.process_index() != 0:
+                return
         ckpt_dir = self.config.checkpoint_dir
         os.makedirs(ckpt_dir, exist_ok=True)
         meta = {
@@ -306,13 +323,12 @@ class Trainer:
         if name is None:
             name = f"checkpoint_epoch_{epoch}.ckpt"
         path = os.path.join(ckpt_dir, name)
-        save_checkpoint_file(path, meta, self.params, self.model_state,
-                             self.opt_state)
+        save_checkpoint_file(path, meta, params, model_state, opt_state)
         self.logger.info(f"Checkpoint saved: {path}")
         if is_best:
             best_path = os.path.join(ckpt_dir, "best_model.ckpt")
-            save_checkpoint_file(best_path, meta, self.params,
-                                 self.model_state, self.opt_state)
+            save_checkpoint_file(best_path, meta, params, model_state,
+                                 opt_state)
             self.logger.info(f"Best model updated: {best_path}")
 
     def load_checkpoint(self):
@@ -483,10 +499,24 @@ class Trainer:
             # Multi-process mode drops ragged batches; a valid set smaller
             # than the global batch yields nothing — returning 0.0 here
             # would masquerade as a perfect val loss and steal best_model.
+            # (Consistent across processes: every process sees the same
+            # batch count by the sampler slicing contract.)
             self.logger.warning(
                 "Validation produced no full batches (valid set smaller "
                 "than the global batch size?); skipping.")
             return None
+        if jax.process_count() > 1:
+            # WER/CER were computed over process-LOCAL rows; without this
+            # reduction each process averages a different value and can
+            # pick a *different* best epoch. The eval loss is already
+            # global (computed inside jit over the sharded batch), so only
+            # the host-side metrics need gathering. All processes combine
+            # the same gathered vector -> identical decisions.
+            from jax.experimental import multihost_utils
+            agg = multihost_utils.process_allgather(
+                np.array([total_wer, total_cer], dtype=np.float64))
+            total_wer = float(np.mean(agg[:, 0]))
+            total_cer = float(np.mean(agg[:, 1]))
         avg_val_loss = val_loss / num_batches
         avg_wer = total_wer / num_batches
         avg_cer = total_cer / num_batches
