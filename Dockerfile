@@ -2,16 +2,18 @@
 # TPU-enabled base image and `pip install jax[tpu]`).
 #
 # Reference counterpart: /root/reference/Dockerfile (python-slim + ffmpeg +
-# libsndfile + FastAPI). This framework decodes WAV natively (no ffmpeg /
-# libsndfile needed) and serves over the stdlib HTTP transport unless
-# fastapi+uvicorn are installed.
+# libsndfile + FastAPI). This framework decodes WAV and FLAC natively (no
+# libsndfile needed); ffmpeg covers the remaining advertised upload formats
+# (mp3/ogg/m4a) — without it those return 400, not 500. Serves over the
+# stdlib HTTP transport unless fastapi+uvicorn are installed.
 
 FROM python:3.12-slim
 
 WORKDIR /app
 
-# g++ for the optional native host ops (wav decode / resample / WER)
-RUN apt-get update && apt-get install -y --no-install-recommends g++ \
+# g++ for the native host ops (wav/flac decode, resample, WER);
+# ffmpeg for mp3/ogg/m4a uploads (reference Dockerfile:6-9 parity)
+RUN apt-get update && apt-get install -y --no-install-recommends g++ ffmpeg \
     && rm -rf /var/lib/apt/lists/*
 
 COPY requirements.txt .

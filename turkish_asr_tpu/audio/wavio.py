@@ -27,6 +27,83 @@ import numpy as np
 TARGET_SAMPLE_RATE = 16000
 
 
+class UnsupportedFormatError(ValueError):
+    """The file's container format is recognized but not decodable in this
+    deployment (e.g. mp3 without ffmpeg installed)."""
+
+
+def sniff_format(head):
+    """Identify an audio container from its first bytes.
+
+    Returns one of "wav", "flac", "mp3", "ogg", "m4a", or None.
+    """
+    if len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    if head[:4] == b"fLaC":
+        return "flac"
+    if head[:3] == b"ID3" or (len(head) >= 2 and head[0] == 0xFF
+                              and (head[1] & 0xE0) == 0xE0):
+        return "mp3"
+    if head[:4] == b"OggS":
+        return "ogg"
+    if len(head) >= 12 and head[4:8] == b"ftyp":
+        return "m4a"
+    return None
+
+
+@lru_cache(maxsize=1)
+def ffmpeg_available():
+    import shutil
+    return shutil.which("ffmpeg") is not None
+
+
+def supported_formats():
+    """Extensions decodable in THIS deployment. wav/flac are always
+    decodable (self-contained decoders, audio/flacio.py +
+    native/src/asr_native.cpp); mp3/ogg/m4a need ffmpeg on PATH (the
+    serving Dockerfile installs it, like the reference's image —
+    /root/reference/Dockerfile:6-9)."""
+    formats = {".wav", ".flac"}
+    if ffmpeg_available():
+        formats |= {".mp3", ".ogg", ".m4a"}
+    return formats
+
+
+def _ffmpeg_load(path, target_sample_rate):
+    """Decode any ffmpeg-supported file to mono float32 at the target rate
+    (ffmpeg's resampler, not the windowed-sinc one — the compressed-format
+    path trades bit-parity for coverage, like the reference's
+    torchaudio/ffmpeg backend)."""
+    import subprocess
+    if not ffmpeg_available():
+        with open(path, "rb") as f:
+            fmt = sniff_format(f.read(16))
+        raise UnsupportedFormatError(
+            f"{fmt or 'compressed-audio'} decode requires ffmpeg on PATH "
+            f"(wav/flac decode is built in): {path}")
+    cmd = ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le",
+           "-acodec", "pcm_f32le", "-ac", "1",
+           "-ar", str(int(target_sample_rate)), "pipe:1"]
+    res = subprocess.run(cmd, capture_output=True, timeout=600)
+    if res.returncode != 0 or not res.stdout:
+        err = res.stderr.decode("utf-8", errors="replace").strip()[:300]
+        raise ValueError(f"ffmpeg decode failed for {path}: {err}")
+    return np.frombuffer(res.stdout, dtype="<f4").copy()
+
+
+def read_audio(path):
+    """Decode wav or flac -> (float32 (channels, samples), sample_rate).
+    Other formats route through load_audio's ffmpeg path (which also
+    resamples)."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    fmt = sniff_format(head)
+    if fmt == "flac":
+        from turkish_asr_tpu.audio.flacio import read_flac
+        return read_flac(path)
+    return read_wav(path)
+
+
 def read_wav(path):
     """Decode a RIFF/WAVE file.
 
@@ -191,12 +268,28 @@ def load_audio(path, target_sample_rate=TARGET_SAMPLE_RATE):
     """Load audio, mono-mix, resample to target rate.
 
     Mirrors AudioPreprocessor.load_audio in the reference
-    (/root/reference/data/preprocessing.py:66-79).
+    (/root/reference/data/preprocessing.py:66-79), which decodes whatever
+    torchaudio/ffmpeg handles. Here: wav and flac through the built-in
+    decoders + windowed-sinc resampler; mp3/ogg/m4a (and anything else
+    recognizable) through ffmpeg when installed, raising
+    UnsupportedFormatError otherwise.
 
     Returns:
         (waveform, sample_rate): float32 (samples,) mono waveform.
     """
-    x, sr = read_wav(path)
+    with open(path, "rb") as f:
+        head = f.read(16)
+    fmt = sniff_format(head)
+    if fmt in ("wav", "flac"):
+        x, sr = read_audio(path)
+    elif fmt in ("mp3", "ogg", "m4a"):
+        return _ffmpeg_load(path, target_sample_rate), target_sample_rate
+    elif ffmpeg_available():
+        # unrecognized container: let ffmpeg try (reference behavior —
+        # torchaudio.load accepts anything its backend can sniff)
+        return _ffmpeg_load(path, target_sample_rate), target_sample_rate
+    else:
+        raise ValueError(f"Unrecognized audio format: {path}")
     if x.shape[0] > 1:
         x = np.mean(x, axis=0, keepdims=True)
     if sr != target_sample_rate:

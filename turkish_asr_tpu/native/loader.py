@@ -57,6 +57,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.flac_decode.restype = ctypes.c_int
+        lib.flac_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.resample_f32.restype = ctypes.c_int64
         lib.resample_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -94,6 +100,36 @@ def wav_decode_native(data):
                         ctypes.byref(rate))
     if rc != 0:
         raise ValueError(f"Native WAV decode failed (code {rc})")
+    return out, rate.value
+
+
+def flac_decode_native(data):
+    """FLAC bytes -> (float32 (channels, samples), sample_rate) or None.
+
+    Returns None when the native lib is unavailable OR the stream needs
+    the Python fallback (unknown total_samples, rc=-5); raises ValueError
+    for malformed streams (callers fall through to the Python oracle,
+    which produces the descriptive error)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_samples = ctypes.c_int64()
+    n_channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    rc = lib.flac_decode(data, len(data), None,
+                         ctypes.byref(n_samples), ctypes.byref(n_channels),
+                         ctypes.byref(rate))
+    if rc == -5:
+        return None  # unknown stream length: Python decoder counts frames
+    if rc != 0:
+        raise ValueError(f"Native FLAC decode failed (code {rc})")
+    out = np.empty((n_channels.value, n_samples.value), dtype=np.float32)
+    rc = lib.flac_decode(data, len(data),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                         ctypes.byref(n_samples), ctypes.byref(n_channels),
+                         ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"Native FLAC decode failed (code {rc})")
     return out, rate.value
 
 

@@ -180,6 +180,13 @@ class ASRService:
         ext = os.path.splitext(filename or "")[1].lower()
         if ext not in ALLOWED_EXTENSIONS:
             return 400, {"detail": f"Unsupported file type. Allowed: {ALLOWED_EXTENSIONS}"}
+        # Advertised formats the runtime can't decode (mp3/ogg/m4a without
+        # ffmpeg) return a clean 400, not a 500 from deep in the decoder.
+        from turkish_asr_tpu.audio.wavio import supported_formats
+        if ext not in supported_formats():
+            return 400, {"detail":
+                         f"{ext} decode unavailable in this deployment "
+                         f"(install ffmpeg; wav/flac are built in)"}
         try:
             with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tmp:
                 tmp.write(content)
@@ -197,6 +204,9 @@ class ASRService:
             duration_ms = (time.time() - start) * 1000
             return 200, {"text": text, "duration_ms": duration_ms}
         except Exception as e:  # noqa: BLE001
+            from turkish_asr_tpu.audio.wavio import UnsupportedFormatError
+            if isinstance(e, UnsupportedFormatError):
+                return 400, {"detail": str(e)}
             return 500, {"detail": f"Transcription failed: {e}"}
         finally:
             if os.path.exists(tmp_path):
