@@ -159,33 +159,43 @@ class ASRInference:
         self.use_beam_search = use_beam_search
         if use_beam_search:
             tables = None
+            trie = None
             lm = None
             if lm_path and os.path.exists(lm_path):
                 lm = KenLMModel(lm_path)
                 from turkish_asr_tpu.decode.lm import (
-                    build_arpa_fusion_tables, tokenizer_is_word_granular)
-                # "auto" uses device tables only when each token decodes
-                # to its own word (table granularity == host granularity);
-                # char/BPE tokenizers keep the bit-parity host beam unless
-                # the user forces --lm_fusion device for throughput.
-                want_device = (lm_fusion == "device"
-                               or (lm_fusion == "auto"
-                                   and tokenizer_is_word_granular(
-                                       self.tokenizer, cfg.n_classes)))
-                if want_device:
-                    tables = build_arpa_fusion_tables(lm, self.tokenizer,
-                                                      cfg.n_classes)
-            if tables is not None:
+                    build_arpa_fusion_tables, build_trie_fusion_tables,
+                    tokenizer_is_word_granular)
+                # "auto": word-granular tokenizers take the word-state
+                # tables; char/subword tokenizers take the trie-augmented
+                # tables (build_trie_fusion_tables — host-beam parity with
+                # partial-word tracking); only tokenizers neither builder
+                # can model fall back to the host beam.
+                if lm_fusion in ("device", "auto"):
+                    if tokenizer_is_word_granular(self.tokenizer,
+                                                  cfg.n_classes):
+                        tables = build_arpa_fusion_tables(
+                            lm, self.tokenizer, cfg.n_classes)
+                    if tables is None:
+                        trie = build_trie_fusion_tables(
+                            lm, self.tokenizer, cfg.n_classes)
+            if tables is not None or trie is not None:
                 # Exact ARPA backoff fusion inside the on-device beam scan
-                # (decode/lm.build_arpa_fusion_tables) — the batched
-                # replacement for the reference's per-extension host KenLM
-                # round trips (/root/reference/utils/decoding.py:261-263).
+                # — the batched replacement for the reference's
+                # per-extension host KenLM round trips
+                # (/root/reference/utils/decoding.py:261-263).
                 from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
                 self.decoder = DeviceBeamDecoder(self.tokenizer,
                                                  beam_width=beam_width,
-                                                 lm_tables=tables)
-                print(f"Beam decoder: on-device ARPA fusion "
-                      f"({tables[0].shape[0]} LM states)")
+                                                 lm_tables=tables,
+                                                 lm_trie=trie)
+                if tables is not None:
+                    print(f"Beam decoder: on-device ARPA fusion "
+                          f"({tables[0].shape[0]} LM states)")
+                else:
+                    print(f"Beam decoder: on-device ARPA trie fusion "
+                          f"({trie['score_w'].shape[0]} word states, "
+                          f"{trie['trie_nodes']} trie nodes)")
             else:
                 self.decoder = CTCBeamDecoder(
                     self.tokenizer, beam_width=beam_width,

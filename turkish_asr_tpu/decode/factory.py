@@ -27,7 +27,7 @@ class DeviceBeamDecoder:
 
     def __init__(self, tokenizer, beam_width=16, blank_id=0,
                  lm_bias=None, lm_weight=0.3, lm_tables=None,
-                 word_bonus=0.5):
+                 lm_trie=None, word_bonus=0.5):
         import jax.numpy as jnp
         self.tokenizer = tokenizer
         self.beam_width = beam_width
@@ -41,6 +41,15 @@ class DeviceBeamDecoder:
                               jnp.asarray(lm_tables[1]), int(lm_tables[2]))
         else:
             self.lm_tables = None
+        # Trie-augmented fusion (char/subword tokenizers) — see
+        # decode/lm.build_trie_fusion_tables.
+        if lm_trie is not None:
+            self.lm_trie = {k: jnp.asarray(lm_trie[k]) for k in
+                            ("score_w", "next_w", "ptrans", "wid",
+                             "tok_kind", "qwid")}
+            self.lm_trie_start = int(lm_trie["start_h"])
+        else:
+            self.lm_trie = None
         # Reference CTCBeamDecoder applies a final per-word insertion
         # bonus (beta, decoding.py:282-287); the device search returns all
         # W beams and the bonus reranks them host-side.
@@ -65,6 +74,10 @@ class DeviceBeamDecoder:
             score_t, next_t, start = self.lm_tables
             kwargs = {"lm_tables": (score_t, next_t),
                       "lm_start_state": start,
+                      "lm_weight": self.lm_weight}
+        elif self.lm_trie is not None:
+            kwargs = {"lm_trie": self.lm_trie,
+                      "lm_start_state": self.lm_trie_start,
                       "lm_weight": self.lm_weight}
         elif self.lm_bias is not None:
             kwargs = {"lm_bias": self.lm_bias,
@@ -127,13 +140,23 @@ class FlashlightDecoder:
                 print(f"Warning: Could not load LM: {e}")
         if lm is not None:
             tables = None
+            trie = None
             vocab = getattr(tokenizer, "vocab_size", None)
             if vocab:
                 from turkish_asr_tpu.decode.lm import (
-                    build_arpa_fusion_tables, tokenizer_is_word_granular)
+                    build_arpa_fusion_tables, build_trie_fusion_tables,
+                    tokenizer_is_word_granular)
                 if tokenizer_is_word_granular(tokenizer, vocab):
                     tables = build_arpa_fusion_tables(lm, tokenizer, vocab)
-            if tables is not None:
+                if tables is None:
+                    trie = build_trie_fusion_tables(lm, tokenizer, vocab)
+            if trie is not None:
+                self._impl = DeviceBeamDecoder(tokenizer,
+                                               beam_width=min(beam_size, 32),
+                                               lm_trie=trie,
+                                               lm_weight=lm_weight,
+                                               word_bonus=word_score)
+            elif tables is not None:
                 # Batched on-device beam with exact ARPA fusion — the
                 # native high-performance LM-fused configuration.
                 # word_score (reference default -1.0, an insertion

@@ -74,9 +74,16 @@ def _row_lookup(table, idx):
     return table[idx].astype(jnp.float32)
 
 
+def _pick_col(rows, cols, n_cols):
+    """rows[i, cols[i]] for (W, C) rows and (W,) cols — masked one-hot sum
+    (payloads exact in f32 up to 2^24; gathers are slow on TPU)."""
+    oh = jax.nn.one_hot(cols, n_cols, dtype=jnp.float32)
+    return jnp.sum(rows * oh, axis=1)
+
+
 def _beam_step(state, logp_t, active, beam_width, blank_id,
-               lm_bias=None, lm_weight=0.3, lm_tables=None):
-    last, p_b, p_nb, h1, h2, lm_state = state
+               lm_bias=None, lm_weight=0.3, lm_tables=None, lm_trie=None):
+    last, p_b, p_nb, h1, h2, lm_state, lm_p = state
     W = beam_width
     V = logp_t.shape[0]
     K = min(V, 2 * W)  # top-K expansion, K = 2W like the reference
@@ -130,6 +137,29 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         score_t, _ = lm_tables
         lm_rows = _row_lookup(score_t, lm_state)                    # (W, V)
         lm = jnp.dot(lm_rows, oh_tok_t, precision="highest")        # (W, K)
+        ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
+                            ext_pnb + lm_weight * lm)
+    trie_ctx = None
+    if lm_trie is not None:
+        # Trie-augmented ARPA fusion for subword/char tokenizers
+        # (decode/lm.build_trie_fusion_tables): beam state = (h = word
+        # FSM state of the COMPLETED words, p = trie node of the partial
+        # word). Scoring context = complete(h, p): the host beam treats
+        # the partial word as a full context word (decode(prefix).split()
+        # — beam.py _lm_score), so the table context is the state after
+        # emitting the partial's vocab word (<unk> when it is no word).
+        Wa = lm_trie["score_w"].shape[1]
+        wid_p = lm_trie["wid"][lm_p]                               # (W,)
+        comp = _pick_col(_row_lookup(lm_trie["next_w"], lm_state),
+                         wid_p, Wa).astype(jnp.int32)
+        trie_ctx = jnp.where(lm_p == 0, lm_state, comp)            # (W,)
+        sc_rows = _row_lookup(lm_trie["score_w"], trie_ctx)        # (W, Wa)
+        q = lm_trie["qwid"][top_tok]                               # (K,)
+        oh_q = jax.nn.one_hot(q, Wa, dtype=jnp.float32)            # (K, Wa)
+        lm = jnp.dot(sc_rows, oh_q.T, precision="highest")         # (W, K)
+        kind_k = lm_trie["tok_kind"][top_tok]                      # (K,)
+        scores_word = (kind_k == 1) | (kind_k == 3) | (kind_k == 4)
+        lm = jnp.where(scores_word[None, :], lm, 0.0)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
     ext_pnb = jnp.where(is_blank, NEG_INF, ext_pnb)
@@ -197,6 +227,30 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
     extended = sel_tok >= 0
     n_last = jnp.where(extended, sel_tok, last[sel_parent])
     n_lm_state = lm_state[sel_parent]
+    n_lm_p = lm_p[sel_parent]
+    if lm_trie is not None:
+        # State advance per token kind (decode/lm.py _KIND_*):
+        #   0 empty      : (h, p) unchanged
+        #   1 "frag"     : p -> walk(p, frag)
+        #   2 " "        : h -> complete(h, p), p -> root
+        #   3 " frag"    : h -> complete(h, p), p -> walk(root, frag)
+        #   4 "frag "    : h -> complete(h, walk(p, frag)), p -> root
+        # ptrans already encodes the kind-dependent walk origin.
+        Wa = lm_trie["score_w"].shape[1]
+        tok_c = jnp.clip(sel_tok, 0, V - 1)
+        kind = lm_trie["tok_kind"][tok_c]                          # (W,)
+        pw = _pick_col(_row_lookup(lm_trie["ptrans"], n_lm_p),
+                       tok_c, V).astype(jnp.int32)                 # (W,)
+        ctx_sel = trie_ctx[sel_parent]
+        comp_pw = _pick_col(_row_lookup(lm_trie["next_w"], n_lm_state),
+                            lm_trie["wid"][pw], Wa).astype(jnp.int32)
+        comp_pw = jnp.where(pw == 0, n_lm_state, comp_pw)
+        h_next = jnp.where((kind == 2) | (kind == 3), ctx_sel,
+                           jnp.where(kind == 4, comp_pw, n_lm_state))
+        p_next = jnp.where((kind == 1) | (kind == 3), pw,
+                           jnp.where(kind == 0, n_lm_p, 0))
+        n_lm_state = jnp.where(extended, h_next, n_lm_state)
+        n_lm_p = jnp.where(extended, p_next, n_lm_p)
     if lm_tables is not None:
         # LM state advances on EVERY extension (including repeat-token
         # extends that add no LM score) — the reference recomputes its
@@ -212,7 +266,7 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
             axis=1).astype(jnp.int32)
         n_lm_state = jnp.where(extended, stepped, n_lm_state)
 
-    new_state = (n_last, n_pb, n_pnb, n_h1, n_h2, n_lm_state)
+    new_state = (n_last, n_pb, n_pnb, n_h1, n_h2, n_lm_state, n_lm_p)
     # Frames past the utterance end freeze the state (scalar `active`
     # broadcasts against every state tensor).
     new_state = jax.tree.map(lambda new, old: jnp.where(active, new, old),
@@ -228,7 +282,8 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
 
 def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
                         lm_bias=None, lm_weight=0.3, lm_tables=None,
-                        lm_start_state=0, return_all_beams=False):
+                        lm_trie=None, lm_start_state=0,
+                        return_all_beams=False):
     T, V = logp.shape
     W, L = beam_width, max_prefix_len
 
@@ -243,16 +298,17 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     h1 = -jnp.arange(W, dtype=jnp.int32)
     h2 = -jnp.arange(W, dtype=jnp.int32)
     lm_state = jnp.full((W,), lm_start_state, dtype=jnp.int32)
-    state = (last, p_b, p_nb, h1, h2, lm_state)
+    lm_p = jnp.zeros((W,), dtype=jnp.int32)  # trie root (empty partial)
+    state = (last, p_b, p_nb, h1, h2, lm_state, lm_p)
 
     def step(state, t):
         active = t < length
         return _beam_step(state, logp[t], active, W, blank_id,
                           lm_bias=lm_bias, lm_weight=lm_weight,
-                          lm_tables=lm_tables)
+                          lm_tables=lm_tables, lm_trie=lm_trie)
 
     state, (parents, toks) = jax.lax.scan(step, state, jnp.arange(T))
-    _, p_b, p_nb, _, _, _ = state
+    p_b, p_nb = state[1], state[2]
     scores = _lse(p_b, p_nb)
 
     def backtrace(final_idx):
@@ -286,7 +342,8 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
                                    "return_all_beams"))
 def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
                     max_prefix_len=None, lm_bias=None, lm_weight=0.3,
-                    lm_tables=None, lm_start_state=0, return_all_beams=False):
+                    lm_tables=None, lm_trie=None, lm_start_state=0,
+                    return_all_beams=False):
     """Batched on-device CTC prefix beam search.
 
     Args:
@@ -302,6 +359,10 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             backoff shallow fusion; each beam carries an int32 LM state
             starting at ``lm_start_state``. Mutually exclusive with
             ``lm_bias``.
+        lm_trie: optional dict from decode/lm.build_trie_fusion_tables —
+            trie-augmented ARPA fusion for char/subword tokenizers; each
+            beam carries (word-FSM state, partial-word trie node). Its
+            "start_h" seeds ``lm_start_state``.
         return_all_beams: when True, return every beam instead of the
             argmax — (ids (B, W, Lmax), counts (B, W), scores (B, W)) —
             so callers can apply the reference's final word-count bonus.
@@ -310,8 +371,8 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         (ids (B, Lmax) int32, counts (B,)) — best beam per batch item —
         or the all-beams triple described above.
     """
-    if lm_bias is not None and lm_tables is not None:
-        raise ValueError("pass lm_bias or lm_tables, not both")
+    if sum(x is not None for x in (lm_bias, lm_tables, lm_trie)) > 1:
+        raise ValueError("pass at most one of lm_bias/lm_tables/lm_trie")
     B, T, V = log_probs.shape
     L = max_prefix_len or T
     if lengths is None:
@@ -321,6 +382,21 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
                  lm_weight=lm_weight, return_all_beams=return_all_beams)
     if lm_bias is not None:
         out = jax.vmap(lambda lp, n: fn(lp, n, lm_bias=lm_bias))(
+            log_probs, lengths)
+    elif lm_trie is not None:
+        # arrays only (jit arg): the start state rides the static
+        # lm_start_state — callers pass lm_start_state=tables["start_h"].
+        trie = {
+            "score_w": jnp.asarray(lm_trie["score_w"], jnp.float32),
+            "next_w": jnp.asarray(lm_trie["next_w"], jnp.int32),
+            "ptrans": jnp.asarray(lm_trie["ptrans"], jnp.int32),
+            "wid": jnp.asarray(lm_trie["wid"], jnp.int32),
+            "tok_kind": jnp.asarray(lm_trie["tok_kind"], jnp.int32),
+            "qwid": jnp.asarray(lm_trie["qwid"], jnp.int32),
+        }
+        out = jax.vmap(
+            lambda lp, n: fn(lp, n, lm_trie=trie,
+                             lm_start_state=lm_start_state))(
             log_probs, lengths)
     elif lm_tables is not None:
         score_t = jnp.asarray(lm_tables[0], dtype=jnp.float32)
