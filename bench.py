@@ -440,18 +440,35 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10):
     return sec, eval_sec
 
 
+def _train_mfu(batch_size, sec):
+    """Train-step MFU: analytic fwd+bwd matmul FLOPs over elapsed time.
+
+    Backward of a matmul costs 2x the forward (dX and dW), so one
+    micro-step is ~3x the forward's matmul FLOPs. CTC (a lax.scan of
+    adds/maxes, no matmuls) and the optimizer update are excluded — this
+    understates "useful work" but matches the standard MFU convention."""
+    from __graft_entry__ import _flagship_cfg
+    peak, _ = _peak_flops()
+    if not peak:
+        return None
+    flops = 3 * model_forward_flops(_flagship_cfg(), SECONDS) * batch_size
+    return round(flops / sec / peak, 4)
+
+
 def bench_train_small():
     sec, eval_sec = _train_step_ms(8, augment=False, accumulation_steps=1)
     _emit("train_step_ms_b8", sec * 1e3, "ms/step", config=2,
           eval_step_ms=round(eval_sec * 1e3, 2),
-          audio_sec_per_sec=round(8 * SECONDS / sec, 2))
+          audio_sec_per_sec=round(8 * SECONDS / sec, 2),
+          mfu=_train_mfu(8, sec))
 
 
 def bench_train_aug():
     sec, _ = _train_step_ms(32, augment=True, accumulation_steps=4)
     _emit("train_step_ms_b32_aug", sec * 1e3, "ms/microstep", config=3,
           accumulation_steps=4,
-          audio_sec_per_sec=round(32 * SECONDS / sec, 2))
+          audio_sec_per_sec=round(32 * SECONDS / sec, 2),
+          mfu=_train_mfu(32, sec))
 
 
 def bench_torch_baseline():

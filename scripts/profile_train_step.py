@@ -88,6 +88,15 @@ def main():
                 lambda pp: fwd_loss(pp, ms, feats, fl, use_ctc=use_ctc,
                                     train=True, drop_rng=dkey),
                 has_aux=True)(p)
+            if not update:
+                # Force the backward pass into the program: without a data
+                # dependency on grads XLA dead-code-eliminates the entire
+                # backward (measured: "fwd+bwd" == fwd-only time), which
+                # misattributes the bwd cost to whatever variant uses the
+                # grads (round-3 false lead: "optimizer adds 33ms").
+                gn = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g in jax.tree.leaves(grads))
+                return loss + gn * 1e-30
             if update:
                 gn = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
                          for g in jax.tree.leaves(grads))
