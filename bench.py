@@ -414,7 +414,7 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10):
         "sample_mask": np.ones((batch_size,), dtype=np.float32),
     })
     p, ms, opt = trainer.params, trainer.model_state, trainer.opt_state
-    key = jax.random.PRNGKey(0)
+    key = trainer.make_rng(0)  # configured impl (rbg hardware generator)
     # donated buffers can't ride a scan: thread state through an eager
     # loop (async dispatch pipelines the steps), sync via a loss fetch
     for _ in range(2):  # compile + deferred warmup

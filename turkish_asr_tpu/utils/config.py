@@ -86,6 +86,12 @@ def get_config(argv=None):
     parser.add_argument("--distributed", action="store_true",
                         help="Multi-host: call jax.distributed.initialize() (TPU pod slices); "
                              "coordinator/process env comes from the TPU runtime")
+    parser.add_argument("--rng_impl", type=str, default="rbg",
+                        choices=["rbg", "threefry2x32"],
+                        help="PRNG for dropout/SpecAugment masks inside the train step. "
+                             "'rbg' uses the TPU hardware bit generator (measured 9 ms/step "
+                             "faster than JAX's default threefry at B=32 — dropout masks are "
+                             "~172M draws/step); 'threefry2x32' is JAX's default software PRNG")
 
     config = parser.parse_args(argv)
     return config
