@@ -10,6 +10,8 @@ state per batch item (W = beam_width):
     p_b, p_nb (W,)    log P(prefix ending in blank / non-blank)
     h1, h2    (W,)    two independent rolling hashes of the prefix
     lm_state  (W,)    ARPA fusion context state (when lm_tables given)
+    lm_p      (W,)    partial-word trie node (trie fusion)
+    lm_ctx    (W,)    cached complete(lm_state, lm_p) scoring context
 
 No token buffer rides the scan: each step emits (parent, token) links and
 the winning prefixes are reconstructed once at the end by a traceback
@@ -56,21 +58,32 @@ def _hash_step(h, tok, p, m):
 
 
 # Measured crossover for table-row lookup inside the beam scan: below this
-# many rows a one-hot matmul (precision=highest for exactness) beats the
-# batched dynamic gather — the slowest primitive on TPU; above it the
-# O(W*S) one-hot work loses.
+# many rows a one-hot matmul beats the batched dynamic gather — the
+# slowest primitive on TPU; above it the O(W*S) one-hot work loses.
 _ONEHOT_LOOKUP_MAX_ROWS = 4096
+
+
+# Matmul precision for one-hot selection lookups. Default TPU f32 matmuls
+# round operands through ONE bf16 pass (8-bit mantissa) — wrong for
+# integer payloads > 256 and visibly lossy for scores. 'high' (bf16_3x,
+# two 8-bit mantissa pieces per operand) is sufficient here because one
+# operand is ONE-HOT: 0/1 entries are exact in a single bf16 piece, so
+# every product is 1.0 * (hi + lo) of a table value — integer payloads
+# < 2^16 (state/node ids, max ~4k) reconstruct exactly, and scores keep
+# 16 mantissa bits (rel err 2^-17, orders below beam decision scales and
+# the 1e-4 host-parity tolerance). Versus 'highest' (bf16_6x) this halves
+# the MXU passes of the LM-fusion hot loop.
+_LOOKUP_PRECISION = "high"
 
 
 def _row_lookup(table, idx):
     """table[idx] for a (S, V) table and (W,) int rows, gather-free when
-    S is small. Exact: one-hot matmuls run at precision='highest' (default
-    TPU f32 matmuls round through bf16 — wrong for scores and for integer
-    payloads > 256)."""
+    S is small (one-hot selection matmul; see _LOOKUP_PRECISION)."""
     S = table.shape[0]
     if S <= _ONEHOT_LOOKUP_MAX_ROWS:
         oh = jax.nn.one_hot(idx, S, dtype=jnp.float32)
-        return jnp.dot(oh, table.astype(jnp.float32), precision="highest")
+        return jnp.dot(oh, table.astype(jnp.float32),
+                       precision=_LOOKUP_PRECISION)
     return table[idx].astype(jnp.float32)
 
 
@@ -83,7 +96,7 @@ def _pick_col(rows, cols, n_cols):
 
 def _beam_step(state, logp_t, active, beam_width, blank_id,
                lm_bias=None, lm_weight=0.3, lm_tables=None, lm_trie=None):
-    last, p_b, p_nb, h1, h2, lm_state, lm_p = state
+    last, p_b, p_nb, h1, h2, lm_state, lm_p, lm_ctx = state
     W = beam_width
     V = logp_t.shape[0]
     K = min(V, 2 * W)  # top-K expansion, K = 2W like the reference
@@ -96,7 +109,7 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
     stay_pb = total + lp_blank
     lp_last_rows = jnp.dot(
         jax.nn.one_hot(jnp.clip(last, 0, V - 1), V, dtype=jnp.float32),
-        logp_t, precision="highest")                                # (W,)
+        logp_t, precision=_LOOKUP_PRECISION)                                # (W,)
     lp_last = jnp.where(last >= 0, lp_last_rows, NEG_INF)
     stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG_INF)
     stay_parent = jnp.arange(W)
@@ -125,7 +138,7 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         S = lm_bias.shape[0]
         lm_rows = _row_lookup(lm_bias,
                               jnp.clip(last + 1, 0, S - 1))         # (W, V)
-        lm = jnp.dot(lm_rows, oh_tok_t, precision="highest")        # (W, K)
+        lm = jnp.dot(lm_rows, oh_tok_t, precision=_LOOKUP_PRECISION)        # (W, K)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
     if lm_tables is not None:
@@ -136,27 +149,26 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # gather and the row lookup falls back.
         score_t, _ = lm_tables
         lm_rows = _row_lookup(score_t, lm_state)                    # (W, V)
-        lm = jnp.dot(lm_rows, oh_tok_t, precision="highest")        # (W, K)
+        lm = jnp.dot(lm_rows, oh_tok_t, precision=_LOOKUP_PRECISION)        # (W, K)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
-    trie_ctx = None
     if lm_trie is not None:
         # Trie-augmented ARPA fusion for subword/char tokenizers
         # (decode/lm.build_trie_fusion_tables): beam state = (h = word
         # FSM state of the COMPLETED words, p = trie node of the partial
-        # word). Scoring context = complete(h, p): the host beam treats
-        # the partial word as a full context word (decode(prefix).split()
-        # — beam.py _lm_score), so the table context is the state after
-        # emitting the partial's vocab word (<unk> when it is no word).
+        # word, ctx = complete(h, p)). Scoring context = ctx: the host
+        # beam treats the partial word as a full context word
+        # (decode(prefix).split() — beam.py _lm_score), so the context is
+        # the state after emitting the partial's vocab word (<unk> when it
+        # is no word). ctx rides the beam state — recomputing
+        # complete(h, p) here cost a (W, S)x(S, Wa) next_w lookup every
+        # step; the advance below maintains it with the one lookup it
+        # already needs.
         Wa = lm_trie["score_w"].shape[1]
-        wid_p = lm_trie["wid"][lm_p]                               # (W,)
-        comp = _pick_col(_row_lookup(lm_trie["next_w"], lm_state),
-                         wid_p, Wa).astype(jnp.int32)
-        trie_ctx = jnp.where(lm_p == 0, lm_state, comp)            # (W,)
-        sc_rows = _row_lookup(lm_trie["score_w"], trie_ctx)        # (W, Wa)
+        sc_rows = _row_lookup(lm_trie["score_w"], lm_ctx)          # (W, Wa)
         q = lm_trie["qwid"][top_tok]                               # (K,)
         oh_q = jax.nn.one_hot(q, Wa, dtype=jnp.float32)            # (K, Wa)
-        lm = jnp.dot(sc_rows, oh_q.T, precision="highest")         # (W, K)
+        lm = jnp.dot(sc_rows, oh_q.T, precision=_LOOKUP_PRECISION)         # (W, K)
         kind_k = lm_trie["tok_kind"][top_tok]                      # (K,)
         scores_word = (kind_k == 1) | (kind_k == 3) | (kind_k == 4)
         lm = jnp.where(scores_word[None, :], lm, 0.0)
@@ -228,6 +240,7 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
     n_last = jnp.where(extended, sel_tok, last[sel_parent])
     n_lm_state = lm_state[sel_parent]
     n_lm_p = lm_p[sel_parent]
+    n_lm_ctx = lm_ctx[sel_parent]
     if lm_trie is not None:
         # State advance per token kind (decode/lm.py _KIND_*):
         #   0 empty      : (h, p) unchanged
@@ -235,22 +248,31 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         #   2 " "        : h -> complete(h, p), p -> root
         #   3 " frag"    : h -> complete(h, p), p -> walk(root, frag)
         #   4 "frag "    : h -> complete(h, walk(p, frag)), p -> root
-        # ptrans already encodes the kind-dependent walk origin.
+        # ptrans already encodes the kind-dependent walk origin. The
+        # carried ctx' = complete(h', p') needs one next_w lookup shared
+        # with h': base = h except kind 3 (whose new partial completes
+        # against the just-advanced context):
+        #   kind 0/2: ctx' = ctx (p empty or unchanged pair)
+        #   kind 1/4: ctx' = complete(h, pw)        (base = h)
+        #   kind 3  : ctx' = complete(ctx, pw)      (base = ctx)
         Wa = lm_trie["score_w"].shape[1]
         tok_c = jnp.clip(sel_tok, 0, V - 1)
         kind = lm_trie["tok_kind"][tok_c]                          # (W,)
         pw = _pick_col(_row_lookup(lm_trie["ptrans"], n_lm_p),
                        tok_c, V).astype(jnp.int32)                 # (W,)
-        ctx_sel = trie_ctx[sel_parent]
-        comp_pw = _pick_col(_row_lookup(lm_trie["next_w"], n_lm_state),
+        ctx_sel = n_lm_ctx
+        base = jnp.where(kind == 3, ctx_sel, n_lm_state)
+        comp_pw = _pick_col(_row_lookup(lm_trie["next_w"], base),
                             lm_trie["wid"][pw], Wa).astype(jnp.int32)
-        comp_pw = jnp.where(pw == 0, n_lm_state, comp_pw)
+        comp_pw = jnp.where(pw == 0, base, comp_pw)
         h_next = jnp.where((kind == 2) | (kind == 3), ctx_sel,
                            jnp.where(kind == 4, comp_pw, n_lm_state))
         p_next = jnp.where((kind == 1) | (kind == 3), pw,
                            jnp.where(kind == 0, n_lm_p, 0))
+        ctx_next = jnp.where((kind == 0) | (kind == 2), ctx_sel, comp_pw)
         n_lm_state = jnp.where(extended, h_next, n_lm_state)
         n_lm_p = jnp.where(extended, p_next, n_lm_p)
+        n_lm_ctx = jnp.where(extended, ctx_next, n_lm_ctx)
     if lm_tables is not None:
         # LM state advances on EVERY extension (including repeat-token
         # extends that add no LM score) — the reference recomputes its
@@ -266,7 +288,8 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
             axis=1).astype(jnp.int32)
         n_lm_state = jnp.where(extended, stepped, n_lm_state)
 
-    new_state = (n_last, n_pb, n_pnb, n_h1, n_h2, n_lm_state, n_lm_p)
+    new_state = (n_last, n_pb, n_pnb, n_h1, n_h2, n_lm_state, n_lm_p,
+                 n_lm_ctx)
     # Frames past the utterance end freeze the state (scalar `active`
     # broadcasts against every state tensor).
     new_state = jax.tree.map(lambda new, old: jnp.where(active, new, old),
@@ -299,7 +322,10 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     h2 = -jnp.arange(W, dtype=jnp.int32)
     lm_state = jnp.full((W,), lm_start_state, dtype=jnp.int32)
     lm_p = jnp.zeros((W,), dtype=jnp.int32)  # trie root (empty partial)
-    state = (last, p_b, p_nb, h1, h2, lm_state, lm_p)
+    # complete(start, root) == start: the carried scoring context seeds
+    # to the start state (inert for non-trie modes).
+    lm_ctx = jnp.full((W,), lm_start_state, dtype=jnp.int32)
+    state = (last, p_b, p_nb, h1, h2, lm_state, lm_p, lm_ctx)
 
     def step(state, t):
         active = t < length
