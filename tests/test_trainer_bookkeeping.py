@@ -142,3 +142,32 @@ def test_resume_vocab_mismatch_raises(tmp_path):
     tr.config.resume = True
     with pytest.raises(ValueError, match="vocabulary mismatch"):
         tr.load_checkpoint()
+
+
+def test_make_rng_honors_rng_impl(tmp_path):
+    """--rng_impl selects the dropout/SpecAugment PRNG (default rbg -> TPU
+    hardware bit generator; measured 9 ms/step cheaper than threefry at
+    B=32). Both impls must drive the train step, and a given seed must be
+    deterministic."""
+    tr = _make_trainer(tmp_path)
+    assert str(jax.random.key_impl(tr.make_rng(0))) == "rbg"
+    tr.config.rng_impl = "threefry2x32"
+    assert str(jax.random.key_impl(tr.make_rng(0))) == "threefry2x32"
+
+    losses = {}
+    for impl in ("rbg", "threefry2x32"):
+        tr = _make_trainer(tmp_path)
+        tr.config.rng_impl = impl
+        db = shard_batch(tr.mesh, _batch())
+        out = []
+        for _ in range(2):  # same key twice -> identical loss
+            copy = jax.tree.map(jnp.array, (tr.params, tr.model_state,
+                                            tr.opt_state))  # donation-safe
+            _, _, _, loss = tr._train_step(*copy, db, tr.make_rng(7))
+            out.append(float(loss))
+        assert out[0] == out[1], (impl, out)
+        assert np.isfinite(out[0])
+        losses[impl] = out[0]
+    # dropout=0 in this fixture: mask draws are inert, so the two PRNGs
+    # must agree on the loss itself (the step still threads the key).
+    assert losses["rbg"] == pytest.approx(losses["threefry2x32"], rel=1e-6)
