@@ -159,10 +159,14 @@ def mqa_attention(
         if mask is not None:
             scores = jnp.where(mask[:, None, None, :], scores, -1e9)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        # Cast to the activation dtype BEFORE dropout: the mask apply (and
+        # its saved residual / backward) then move (B, H, T, T) at bf16
+        # instead of fp32. Softmax math itself stays fp32 (torch-AMP
+        # autocast parity).
+        attn = attn.astype(compute_dtype)
         if train and dropout > 0.0 and rng is not None:
             keep = jax.random.bernoulli(rng, 1.0 - dropout, attn.shape)
-            attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
-        attn = attn.astype(compute_dtype)
+            attn = jnp.where(keep, attn * (1.0 / (1.0 - dropout)), 0.0)
         if use_mqa and n_heads > 1:
             context = jnp.einsum("bhts,bksd->bhtd", attn, v.astype(compute_dtype),
                                  preferred_element_type=jnp.float32)

@@ -76,6 +76,20 @@ def _init_groupnorm(num_channels):
     return {"scale": jnp.ones((num_channels,)), "bias": jnp.zeros((num_channels,))}
 
 
+def _group_reduce(per_channel, num_groups):
+    """(B, C) per-channel sums -> (B, C) per-GROUP sums, broadcast back.
+
+    The group reduction happens on this tiny (B, C) array, never on the
+    (B, T, C) activation: reshaping the full activation to
+    (B, T, G, C/G) puts C/G (= 8 for d_model=256) elements in the
+    128-wide lane dimension — a relayout XLA pays at every one of the
+    40 norm sites per step (measured 9.6 ms of a 49 ms train
+    micro-step, scripts/profile_block_parts.py)."""
+    B, C = per_channel.shape
+    s = per_channel.reshape(B, num_groups, C // num_groups).sum(-1)
+    return jnp.repeat(s, C // num_groups, axis=-1)
+
+
 def group_norm(p, x, num_groups, eps=1e-5, mask=None):
     """GroupNorm on (B, T, C): per (sample, group) stats over (T, C/G).
 
@@ -83,21 +97,26 @@ def group_norm(p, x, num_groups, eps=1e-5, mask=None):
     policy — halves HBM traffic on the norm-heavy Conformer block, like
     torch AMP's fp16 activations in the reference).
 
+    The (B, T, C) activation is only ever reduced over T in its native
+    layout; the cross-channel group reduction runs on the resulting
+    (B, C) sums (see _group_reduce — keeps C on the lane dimension).
+
     With ``mask`` (B, T) the statistics span only valid frames
     (masked_norm mode); without it, padding leaks like the reference."""
     B, T, C = x.shape
-    g = num_groups
-    xg = x.astype(jnp.float32).reshape(B, T, g, C // g)
+    cg = C // num_groups
+    xf = x.astype(jnp.float32)
     if mask is None:
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+        mean = _group_reduce(jnp.sum(xf, axis=1), num_groups) / (T * cg)
+        d = xf - mean[:, None, :]
+        var = _group_reduce(jnp.sum(d * d, axis=1), num_groups) / (T * cg)
     else:
-        m = mask.astype(jnp.float32)[:, :, None, None]
-        denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (C // g), 1.0)
-        mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / denom
-        var = jnp.sum(jnp.where(m > 0, (xg - mean) ** 2, 0.0),
-                      axis=(1, 3), keepdims=True) / denom
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, T, C)
+        m = mask.astype(jnp.float32)[:, :, None]
+        denom = jnp.maximum(jnp.sum(m, axis=1) * cg, 1.0)  # (B, 1)
+        mean = _group_reduce(jnp.sum(xf * m, axis=1), num_groups) / denom
+        d = xf - mean[:, None, :]
+        var = _group_reduce(jnp.sum(d * d * m, axis=1), num_groups) / denom
+    xn = d * jax.lax.rsqrt(var + eps)[:, None, :]
     return (xn * p["scale"] + p["bias"]).astype(x.dtype)
 
 
