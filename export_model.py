@@ -62,7 +62,7 @@ def _load_forward(checkpoint_path, n_mel_channels, d_model, n_heads,
                                 train=False, compute_dtype=jnp.float32)
         return logits
 
-    return forward, cfg
+    return forward, cfg, params, state
 
 
 def export_stablehlo(
@@ -75,8 +75,8 @@ def export_stablehlo(
     verify=True,
 ):
     """Export the model forward (features -> logits) to serialized StableHLO."""
-    forward, cfg = _load_forward(checkpoint_path, n_mel_channels, d_model,
-                                 n_heads, n_blocks)
+    forward, cfg, _, _ = _load_forward(checkpoint_path, n_mel_channels,
+                                       d_model, n_heads, n_blocks)
 
     # Dynamic batch; time must stay a multiple of 4 so the two stride-2
     # subsampling convs and the (C,F) flatten see consistent shapes.
@@ -128,8 +128,8 @@ def export_savedmodel(
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    forward, cfg = _load_forward(checkpoint_path, n_mel_channels, d_model,
-                                 n_heads, n_blocks)
+    forward, cfg, _, _ = _load_forward(checkpoint_path, n_mel_channels,
+                                       d_model, n_heads, n_blocks)
 
     print("Converting with jax2tf (symbolic batch/time)...")
     tf_fn = jax2tf.convert(
@@ -168,15 +168,67 @@ def export_savedmodel(
     return output_path
 
 
+def export_torch(
+    checkpoint_path,
+    output_path,
+    n_mel_channels=80,
+    d_model=256,
+    n_heads=4,
+    n_blocks=8,
+    verify=True,
+):
+    """Export to a reference-format PyTorch ``.pt`` checkpoint.
+
+    The reverse of ``--model foo.pt`` import: a model trained here loads
+    directly into the reference stack (inference.py:89-99 contract) and
+    its ``export_onnx.py`` then emits the literal ONNX artifact.
+    Verification round-trips the state dict through utils/torch_import
+    and checks forward parity against the live model.
+    """
+    from turkish_asr_tpu.utils.torch_export import export_torch_checkpoint
+
+    forward, cfg, params, state = _load_forward(
+        checkpoint_path, n_mel_channels, d_model, n_heads, n_blocks)
+
+    print("Writing reference-format torch checkpoint...")
+    export_torch_checkpoint(output_path, params, state, cfg)
+    print(f"Exported: {output_path}")
+
+    if verify:
+        print("Verifying round-trip parity (export -> import -> forward)...")
+        import torch
+        from turkish_asr_tpu.utils.torch_import import import_torch_state_dict
+        blob = torch.load(output_path, map_location="cpu", weights_only=True)
+        p2, s2 = import_torch_state_dict(blob["model_state_dict"],
+                                         cfg.n_blocks)
+        x = np.random.default_rng(0).standard_normal(
+            (2, 200, cfg.n_mels)).astype(np.float32)
+        want = np.asarray(forward(jnp.asarray(x)))
+        got, _ = apply_model(p2, s2, jnp.asarray(x), None, cfg=cfg,
+                             train=False, compute_dtype=jnp.float32)
+        err = float(np.max(np.abs(want - np.asarray(got))))
+        print(f"Max abs diff vs live model: {err:.3e}")
+        if err > 1e-4:
+            raise RuntimeError(f"Export verification failed: max diff {err}")
+        print("Verification passed.")
+
+    file_size = os.path.getsize(output_path) / (1024 * 1024)
+    print(f"Model size: {file_size:.2f} MB")
+    return output_path
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="Export ASR model (StableHLO or TF SavedModel)")
     parser.add_argument("--checkpoint", type=str, required=True, help="Path to model checkpoint")
     parser.add_argument("--output", type=str, default="model.stablehlo", help="Output path")
     parser.add_argument("--format", type=str, default="stablehlo",
-                        choices=["stablehlo", "savedmodel"],
-                        help="Artifact format: TPU-native StableHLO or "
-                             "jax2tf SavedModel (TF Serving / tf2onnx bridge)")
+                        choices=["stablehlo", "savedmodel", "torch"],
+                        help="Artifact format: TPU-native StableHLO, "
+                             "jax2tf SavedModel (TF Serving / tf2onnx "
+                             "bridge), or a reference-format torch .pt "
+                             "(loads in the reference stack / its ONNX "
+                             "exporter)")
     parser.add_argument("--n_mel_channels", type=int, default=80, help="Mel channels")
     parser.add_argument("--d_model", type=int, default=256, help="Model dimension")
     parser.add_argument("--n_heads", type=int, default=4, help="Attention heads")
@@ -185,8 +237,8 @@ def main():
                         help="Unused (ONNX-parity flag); artifact versioning is automatic")
     args = parser.parse_args()
 
-    exporter = (export_savedmodel if args.format == "savedmodel"
-                else export_stablehlo)
+    exporter = {"savedmodel": export_savedmodel,
+                "torch": export_torch}.get(args.format, export_stablehlo)
     exporter(
         checkpoint_path=args.checkpoint,
         output_path=args.output,
