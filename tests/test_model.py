@@ -158,3 +158,28 @@ def test_param_count_default_config():
     n = count_params(params)
     # Conformer-S-ish: ~19M params at d=256/8 blocks with 4x SwiGLU FFNs.
     assert 10_000_000 < n < 40_000_000
+
+
+def test_remat_grads_match_no_remat():
+    """Per-block remat (jax.checkpoint on the scan body) is a pure
+    scheduling change: with identical inputs and RNG keys the recomputed
+    forward computes the same math, so loss and gradients must match the
+    non-remat step to float tolerance (train mode, dropout active).
+    Tolerances are tight-but-not-exact: XLA fuses/reassociates the remat
+    program differently, which perturbs the last ulps."""
+    params, state = init_model(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, CFG.n_mels))
+    lengths = jnp.array([64, 40])
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(p, remat):
+        logits, _ = apply_model(p, state, x, lengths, cfg=CFG, train=True,
+                                rng=rng, remat=remat)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

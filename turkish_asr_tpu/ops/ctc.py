@@ -30,7 +30,8 @@ def _extended_targets(targets, blank_id):
     return ext.at[:, 1::2].set(targets)
 
 
-@partial(jax.jit, static_argnames=("blank_id", "reduction", "zero_infinity"))
+@partial(jax.jit, static_argnames=("blank_id", "reduction", "zero_infinity",
+                                   "impl"))
 def ctc_loss(
     log_probs,
     targets,
@@ -40,6 +41,7 @@ def ctc_loss(
     blank_id=0,
     reduction="mean",
     zero_infinity=True,
+    impl="auto",
 ):
     """CTC negative log-likelihood.
 
@@ -51,10 +53,23 @@ def ctc_loss(
         target_lengths: (B,) valid target counts.
         reduction: "mean" (torch default: per-sample loss / target_length,
             then batch mean), "sum", or "none".
+        impl: "scan" (lax.scan recursion, any backend), "pallas" (TPU
+            kernel: the whole time loop in one Pallas program, analytic
+            forward-backward gradient — ~10x faster than the scan's
+            per-step overhead), "pallas_interpret" (kernel correctness
+            path for CPU tests), or "auto" (pallas on TPU, scan elsewhere).
 
     Returns:
         scalar loss (or (B,) when reduction="none").
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl in ("pallas", "pallas_interpret"):
+        from turkish_asr_tpu.ops._ctc_pallas_impl import ctc_nll_pallas
+        loss = ctc_nll_pallas(log_probs, targets, input_lengths,
+                              target_lengths, blank_id,
+                              impl == "pallas_interpret")
+        return _reduce(loss, target_lengths, reduction, zero_infinity)
     B, T, V = log_probs.shape
     L = targets.shape[1]
     S = 2 * L + 1
@@ -107,6 +122,10 @@ def ctc_loss(
     final_ll = jnp.where(target_lengths > 0, final_ll, alpha[:, 0])
 
     loss = -final_ll
+    return _reduce(loss, target_lengths, reduction, zero_infinity)
+
+
+def _reduce(loss, target_lengths, reduction, zero_infinity):
     if zero_infinity:
         # torch semantics: *infinite* losses (impossible alignments) are
         # zeroed; NaN losses pass through so callers' NaN-skip logic fires
