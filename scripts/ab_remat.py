@@ -85,6 +85,8 @@ def main():
          jax.checkpoint_policies.dots_with_no_batch_dims_saveable),
         ("remat anything", True, jax.checkpoint_policies.everything_saveable),
     ]
+    if len(sys.argv) > 2:  # optional variant filter (substring)
+        variants = [v for v in variants if sys.argv[2] in v[0]]
     for name, remat, policy in variants:
         fn = make_step(remat, policy)
         ms = timeit(lambda: fn(params, mstate, w, wl, key))

@@ -171,3 +171,22 @@ def test_make_rng_honors_rng_impl(tmp_path):
     # dropout=0 in this fixture: mask draws are inert, so the two PRNGs
     # must agree on the loss itself (the step still threads the key).
     assert losses["rbg"] == pytest.approx(losses["threefry2x32"], rel=1e-6)
+
+
+def test_ctc_impl_auto_resolution(tmp_path):
+    """'auto' keeps the scan CTC on multi-device meshes (the Pallas
+    kernel's pjit partitioning is unvalidated on real multi-chip) but
+    passes through on a single-device mesh, where ctc_loss itself picks
+    pallas-on-TPU / scan-elsewhere. Explicit choices always win."""
+    tr = _make_trainer(tmp_path)
+    assert tr.mesh.devices.size == 1
+    assert tr._resolve_ctc_impl() == "auto"
+
+    tr.mesh = make_mesh("data=8")
+    assert tr.mesh.devices.size == 8
+    assert tr._resolve_ctc_impl() == "scan"
+
+    tr.config.ctc_impl = "pallas"
+    assert tr._resolve_ctc_impl() == "pallas"
+    tr.config.ctc_impl = "scan"
+    assert tr._resolve_ctc_impl() == "scan"

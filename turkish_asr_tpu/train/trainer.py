@@ -146,6 +146,16 @@ class Trainer:
         self._eval_step = self._build_eval_step()
         self._flush_step = self._build_flush_step()
 
+    def _resolve_ctc_impl(self):
+        """'auto' takes the Pallas kernel only on a single-device mesh:
+        the kernel's SPMD partitioning under pjit is unvalidated on real
+        multi-chip, so sharded meshes keep the scan (an explicit
+        --ctc_impl pallas still overrides)."""
+        impl = getattr(self.config, "ctc_impl", "auto")
+        if impl == "auto" and self.mesh.devices.size > 1:
+            return "scan"
+        return impl
+
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
@@ -163,7 +173,7 @@ class Trainer:
         # micro-steps at B=32 — the saved (B,H,T',T') attention-probs
         # residuals are HBM-bound (scripts/ab_remat.py).
         remat = not getattr(self.config, "no_remat", False)
-        ctc_impl = getattr(self.config, "ctc_impl", "auto")
+        ctc_impl = self._resolve_ctc_impl()
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, model_state, opt_state, batch, rng):
@@ -280,7 +290,7 @@ class Trainer:
         compute_dtype = self.compute_dtype
         attn_kernel = self.attn_kernel
         act_constraint = activation_constraint(self.mesh)
-        ctc_impl = getattr(self.config, "ctc_impl", "auto")
+        ctc_impl = self._resolve_ctc_impl()
         # Collapse with the tokenizer's pad id, matching ctc_decode's blank
         # (reference quirk 1: decode-blank is pad_token_id, loss-blank is 0).
         blank = int(getattr(self.tokenizer, "pad_token_id", 0) or 0) \
