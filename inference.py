@@ -378,6 +378,11 @@ def main():
     parser.add_argument("--trust_checkpoint", action="store_true",
                         help="Allow full unpickling of .pt checkpoints "
                              "(only for trusted files)")
+    parser.add_argument("--evaluate", action="store_true",
+                        help="Score transcripts against sibling .txt "
+                             "references (the dataset discovery rule) and "
+                             "report corpus WER/CER — the trainer's "
+                             "validation metrics as a standalone CLI")
     args = parser.parse_args()
 
     asr = ASRInference(
@@ -399,14 +404,43 @@ def main():
         audio_files = sorted(audio_path.glob("*.wav"))
         print(f"Found {len(audio_files)} audio files")
         if args.beam_search:
-            for f in audio_files:
-                print(f"{f.name}: {asr.transcribe(str(f))}")
+            texts = [asr.transcribe(str(f)) for f in audio_files]
         else:
             texts = asr.transcribe_files([str(f) for f in audio_files])
-            for f, text in zip(audio_files, texts):
-                print(f"{f.name}: {text}")
+        for f, text in zip(audio_files, texts):
+            print(f"{f.name}: {text}")
+        if args.evaluate:
+            _report_metrics(audio_files, texts)
+    elif args.evaluate:
+        text = asr.transcribe(str(audio_path))
+        print(f"\nTranscription:\n{text}\n")
+        _report_metrics([audio_path], [text])
     else:
         print(f"\nTranscription:\n{asr.transcribe(str(audio_path))}\n")
+
+
+def _report_metrics(audio_files, hypotheses):
+    """Corpus WER/CER against sibling .txt references (same pairing rule
+    as data/dataset.find_files; same corpus-level metrics as the
+    trainer's validation — utils/metrics.wer/cer)."""
+    from turkish_asr_tpu.utils.metrics import wer, cer
+
+    refs, hyps, skipped = [], [], 0
+    for f, hyp in zip(audio_files, hypotheses):
+        ref_path = Path(f).with_suffix(".txt")
+        if not ref_path.exists():
+            skipped += 1
+            continue
+        refs.append(ref_path.read_text(encoding="utf-8").strip())
+        hyps.append(hyp)
+    if skipped:
+        print(f"(skipped {skipped} files without .txt references)")
+    if not refs:
+        print("No references found — nothing to score")
+        return
+    print(f"Scored {len(refs)} files | "
+          f"WER: {wer(refs, hyps) * 100:.2f}% | "
+          f"CER: {cer(refs, hyps) * 100:.2f}%")
 
 
 if __name__ == "__main__":

@@ -65,7 +65,8 @@ def main():
             def loss_fn(pp):
                 logits, new_ms = apply_model(pp, ms, feats, fl, cfg=cfg,
                                              train=True, rng=dkey,
-                                             compute_dtype=jnp.bfloat16)
+                                             compute_dtype=jnp.bfloat16,
+                                             remat=True)
                 lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
                 per = ctc_loss(lp, tg, fl // 4, tl, reduction="none")
                 return jnp.mean(per / jnp.maximum(tl, 1)), new_ms

@@ -129,3 +129,28 @@ def test_data_parallel_batched_matches_single(asr, wav_dir, tmp_path_factory):
     sharded_out = asr.transcribe_files(wav_dir, batch_size=4)
     single_out = single.transcribe_files(wav_dir, batch_size=4)
     assert sharded_out == single_out
+
+
+def test_evaluate_reports_corpus_metrics(wav_dir, capsys):
+    """--evaluate scores hypotheses against sibling .txt references with
+    the trainer's corpus WER/CER; files without references are skipped."""
+    from pathlib import Path
+    from inference import _report_metrics
+
+    refs = ["bir iki", "evet", "merhaba"]
+    for p, r in zip(wav_dir[:3], refs):
+        Path(p).with_suffix(".txt").write_text(r, encoding="utf-8")
+    ref4 = Path(wav_dir[3]).with_suffix(".txt")
+    if ref4.exists():
+        ref4.unlink()
+
+    # perfect hypotheses for scored files -> 0% WER/CER
+    _report_metrics(wav_dir, refs + ["ignored (no ref)"])
+    out = capsys.readouterr().out
+    assert "skipped 1 files" in out
+    assert "WER: 0.00%" in out and "CER: 0.00%" in out
+
+    # one wrong word out of four reference words -> 25% WER
+    _report_metrics(wav_dir[:3], ["bir yedi", "evet", "merhaba"])
+    out = capsys.readouterr().out
+    assert "WER: 25.00%" in out
