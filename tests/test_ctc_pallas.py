@@ -137,3 +137,25 @@ def test_pallas_matches_torch_ctc():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(j_grad), logits_t.grad.numpy(),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_ctc_matches_scan_on_mesh():
+    """make_sharded_ctc (shard_map over the data axis, used by the trainer
+    for --ctc_impl pallas on multi-device meshes) matches the scan path
+    for loss and grads on a data x model mesh."""
+    from turkish_asr_tpu.ops.ctc import make_sharded_ctc
+    from turkish_asr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh("data=4,model=2")
+    lp, tg, il, tl = _random_case(9, B=8, T=30, V=6, L=7)
+    want = ctc_loss(lp, tg, il, tl, reduction="none", impl="scan")
+    fn = make_sharded_ctc(mesh, impl="pallas_interpret")
+    got = jax.jit(fn)(lp, tg, il, tl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    g0 = jax.grad(lambda x: jnp.sum(
+        ctc_loss(x, tg, il, tl, reduction="none", impl="scan")))(lp)
+    g1 = jax.grad(lambda x: jnp.sum(fn(x, tg, il, tl)))(lp)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)

@@ -174,19 +174,22 @@ def test_make_rng_honors_rng_impl(tmp_path):
 
 
 def test_ctc_impl_auto_resolution(tmp_path):
-    """'auto' keeps the scan CTC on multi-device meshes (the Pallas
-    kernel's pjit partitioning is unvalidated on real multi-chip) but
-    passes through on a single-device mesh, where ctc_loss itself picks
-    pallas-on-TPU / scan-elsewhere. Explicit choices always win."""
+    """'auto' resolves to the Pallas kernel on TPU / scan elsewhere;
+    an explicit 'pallas' under a multi-device mesh routes through the
+    shard_map wrapper (CTC is batch-parallel); explicit 'scan' wins
+    everywhere. On the CPU test backend auto must give plain scan."""
+    from functools import partial as _p
+
     tr = _make_trainer(tmp_path)
     assert tr.mesh.devices.size == 1
-    assert tr._resolve_ctc_impl() == "auto"
+    fn = tr._make_ctc_fn()
+    assert isinstance(fn, _p) and fn.keywords["impl"] == "scan"
 
     tr.mesh = make_mesh("data=8")
-    assert tr.mesh.devices.size == 8
-    assert tr._resolve_ctc_impl() == "scan"
-
     tr.config.ctc_impl = "pallas"
-    assert tr._resolve_ctc_impl() == "pallas"
+    fn = tr._make_ctc_fn()
+    assert not isinstance(fn, _p)  # shard_map wrapper, not plain ctc_loss
+
     tr.config.ctc_impl = "scan"
-    assert tr._resolve_ctc_impl() == "scan"
+    fn = tr._make_ctc_fn()
+    assert isinstance(fn, _p) and fn.keywords["impl"] == "scan"

@@ -141,6 +141,31 @@ def _reduce(loss, target_lengths, reduction, zero_infinity):
     return jnp.mean(loss / jnp.maximum(target_lengths, 1))
 
 
+def make_sharded_ctc(mesh, impl="pallas", axis="data"):
+    """Per-sample CTC NLL under a multi-device mesh via shard_map.
+
+    The Pallas kernel has no SPMD partitioning rules, so under plain pjit
+    XLA would all-gather its operands. CTC is embarrassingly parallel over
+    the batch, so shard_map over the data axis runs the kernel on each
+    device's local rows instead; axes other than ``axis`` see replicated
+    work (same as pjit would schedule for a replicated loss).
+
+    Returns fn(log_probs, targets, input_lengths, target_lengths) -> (B,)
+    per-sample NLL (reduction="none", pre-zero_infinity masking is applied
+    inside, matching ctc_loss(reduction="none")).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(lp, tg, il, tl):
+        return ctc_loss(lp, tg, il, tl, reduction="none", impl=impl)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        out_specs=P(axis), check_rep=False)
+
+
 def ctc_loss_numpy_oracle(log_probs, targets, input_lengths, target_lengths,
                           blank_id=0):
     """Reference dynamic program (per-sample NLL), numpy, for tests."""

@@ -41,16 +41,17 @@ from turkish_asr_tpu.train.checkpoint import (
 
 def _batched_loss(params, model_state, feats, frame_lengths, batch, *,
                   cfg, train, rng, compute_dtype, attn_kernel=None,
-                  act_constraint=None, remat=False, ctc_impl="auto"):
+                  act_constraint=None, remat=False, ctc_fn=None):
     logits, new_state = apply_model(
         params, model_state, feats, frame_lengths, cfg=cfg, train=train,
         rng=rng, compute_dtype=compute_dtype, attn_kernel=attn_kernel,
         act_constraint=act_constraint, remat=remat)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ctc_lengths = frame_lengths // 4  # reference length contract
-    per_sample = ctc_loss(log_probs, batch["targets"], ctc_lengths,
-                          batch["target_lengths"], reduction="none",
-                          impl=ctc_impl)
+    if ctc_fn is None:
+        ctc_fn = partial(ctc_loss, reduction="none")
+    per_sample = ctc_fn(log_probs, batch["targets"], ctc_lengths,
+                        batch["target_lengths"])
     per_sample = per_sample / jnp.maximum(batch["target_lengths"], 1)
     mask = batch["sample_mask"]
     loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -146,15 +147,21 @@ class Trainer:
         self._eval_step = self._build_eval_step()
         self._flush_step = self._build_flush_step()
 
-    def _resolve_ctc_impl(self):
-        """'auto' takes the Pallas kernel only on a single-device mesh:
-        the kernel's SPMD partitioning under pjit is unvalidated on real
-        multi-chip, so sharded meshes keep the scan (an explicit
-        --ctc_impl pallas still overrides)."""
+    def _make_ctc_fn(self):
+        """Resolve --ctc_impl to the per-sample NLL function.
+
+        'auto' = Pallas kernel on TPU, scan elsewhere. On a multi-device
+        mesh the kernel goes through shard_map over the data axis (CTC is
+        batch-parallel; the kernel has no pjit partitioning rules, so a
+        plain call would make XLA gather its operands) — loss/grad parity
+        on a data x model mesh is tested in tests/test_ctc_pallas.py."""
         impl = getattr(self.config, "ctc_impl", "auto")
-        if impl == "auto" and self.mesh.devices.size > 1:
-            return "scan"
-        return impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if impl == "pallas" and self.mesh.devices.size > 1:
+            from turkish_asr_tpu.ops.ctc import make_sharded_ctc
+            return make_sharded_ctc(self.mesh, impl="pallas")
+        return partial(ctc_loss, reduction="none", impl=impl)
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -173,7 +180,7 @@ class Trainer:
         # micro-steps at B=32 — the saved (B,H,T',T') attention-probs
         # residuals are HBM-bound (scripts/ab_remat.py).
         remat = not getattr(self.config, "no_remat", False)
-        ctc_impl = self._resolve_ctc_impl()
+        ctc_fn = self._make_ctc_fn()
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, model_state, opt_state, batch, rng):
@@ -191,7 +198,7 @@ class Trainer:
                 cfg=cfg, train=True, rng=drop_rng,
                 compute_dtype=compute_dtype, attn_kernel=attn_kernel,
                 act_constraint=act_constraint, remat=remat,
-                ctc_impl=ctc_impl)
+                ctc_fn=ctc_fn)
 
             # NaN/Inf batch skip: no grads applied, no state advanced.
             # Checked on loss AND gradients: a non-finite activation in a
@@ -290,7 +297,7 @@ class Trainer:
         compute_dtype = self.compute_dtype
         attn_kernel = self.attn_kernel
         act_constraint = activation_constraint(self.mesh)
-        ctc_impl = self._resolve_ctc_impl()
+        ctc_fn = self._make_ctc_fn()
         # Collapse with the tokenizer's pad id, matching ctc_decode's blank
         # (reference quirk 1: decode-blank is pad_token_id, loss-blank is 0).
         blank = int(getattr(self.tokenizer, "pad_token_id", 0) or 0) \
@@ -305,7 +312,7 @@ class Trainer:
                 params, model_state, feats, frame_lengths, batch,
                 cfg=cfg, train=False, rng=None,
                 compute_dtype=compute_dtype, attn_kernel=attn_kernel,
-                act_constraint=act_constraint, ctc_impl=ctc_impl)
+                act_constraint=act_constraint, ctc_fn=ctc_fn)
             # Greedy collapse on device: only the packed ids cross the
             # host boundary (the logits tensor costs a full round trip
             # per validation batch over a TPU tunnel).
