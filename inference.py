@@ -410,19 +410,25 @@ def main():
         for f, text in zip(audio_files, texts):
             print(f"{f.name}: {text}")
         if args.evaluate:
-            _report_metrics(audio_files, texts)
+            _report_metrics(audio_files, texts, asr.tokenizer)
     elif args.evaluate:
         text = asr.transcribe(str(audio_path))
         print(f"\nTranscription:\n{text}\n")
-        _report_metrics([audio_path], [text])
+        _report_metrics([audio_path], [text], asr.tokenizer)
     else:
         print(f"\nTranscription:\n{asr.transcribe(str(audio_path))}\n")
 
 
-def _report_metrics(audio_files, hypotheses):
+def _report_metrics(audio_files, hypotheses, tokenizer=None):
     """Corpus WER/CER against sibling .txt references (same pairing rule
     as data/dataset.find_files; same corpus-level metrics as the
-    trainer's validation — utils/metrics.wer/cer)."""
+    trainer's validation — utils/metrics.wer/cer).
+
+    References are normalized through the tokenizer round trip
+    (decode(encode(text))) exactly like the trainer's validation targets:
+    hypotheses come out of ctc_decode already lowercased/charset-filtered,
+    so scoring against raw reference text would count case/punctuation as
+    errors the training metrics never see."""
     from turkish_asr_tpu.utils.metrics import wer, cer
 
     refs, hyps, skipped = [], [], 0
@@ -431,12 +437,20 @@ def _report_metrics(audio_files, hypotheses):
         if not ref_path.exists():
             skipped += 1
             continue
-        refs.append(ref_path.read_text(encoding="utf-8").strip())
+        text = ref_path.read_text(encoding="utf-8").strip()
+        if tokenizer is not None:
+            text = tokenizer.decode(tokenizer.encode(text)).strip()
+        refs.append(text)
         hyps.append(hyp)
     if skipped:
         print(f"(skipped {skipped} files without .txt references)")
+    n_empty = sum(1 for r in refs if not r)
+    if n_empty:
+        pairs = [(r, h) for r, h in zip(refs, hyps) if r]
+        print(f"(skipped {n_empty} empty references)")
+        refs, hyps = [p[0] for p in pairs], [p[1] for p in pairs]
     if not refs:
-        print("No references found — nothing to score")
+        print("No non-empty references found — nothing to score")
         return
     print(f"Scored {len(refs)} files | "
           f"WER: {wer(refs, hyps) * 100:.2f}% | "

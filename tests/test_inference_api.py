@@ -131,26 +131,42 @@ def test_data_parallel_batched_matches_single(asr, wav_dir, tmp_path_factory):
     assert sharded_out == single_out
 
 
-def test_evaluate_reports_corpus_metrics(wav_dir, capsys):
+def test_evaluate_reports_corpus_metrics(tmp_path, capsys):
     """--evaluate scores hypotheses against sibling .txt references with
-    the trainer's corpus WER/CER; files without references are skipped."""
-    from pathlib import Path
+    the trainer's corpus WER/CER; files without references and empty
+    references are skipped; references normalize through the tokenizer
+    round trip exactly like the trainer's validation targets."""
     from inference import _report_metrics
 
+    files = []
+    for i in range(5):
+        p = tmp_path / f"w{i}.wav"
+        p.write_bytes(b"")  # only the path matters to the scorer
+        files.append(str(p))
     refs = ["bir iki", "evet", "merhaba"]
-    for p, r in zip(wav_dir[:3], refs):
-        Path(p).with_suffix(".txt").write_text(r, encoding="utf-8")
-    ref4 = Path(wav_dir[3]).with_suffix(".txt")
-    if ref4.exists():
-        ref4.unlink()
+    for p, r in zip(files[:3], refs):
+        (tmp_path / f"{os.path.splitext(os.path.basename(p))[0]}.txt"
+         ).write_text(r, encoding="utf-8")
+    (tmp_path / "w4.txt").write_text("   ", encoding="utf-8")  # empty ref
+    # w3 has no reference at all
 
     # perfect hypotheses for scored files -> 0% WER/CER
-    _report_metrics(wav_dir, refs + ["ignored (no ref)"])
+    _report_metrics(files, refs + ["no ref", "empty ref"])
     out = capsys.readouterr().out
     assert "skipped 1 files" in out
+    assert "skipped 1 empty references" in out
     assert "WER: 0.00%" in out and "CER: 0.00%" in out
 
     # one wrong word out of four reference words -> 25% WER
-    _report_metrics(wav_dir[:3], ["bir yedi", "evet", "merhaba"])
+    _report_metrics(files[:3], ["bir yedi", "evet", "merhaba"])
     out = capsys.readouterr().out
     assert "WER: 25.00%" in out
+
+    # tokenizer normalization: punctuation/case in the reference must not
+    # count as errors (the trainer's targets go through encode/decode)
+    tok = TurkishTokenizer()
+    (tmp_path / "w0.txt").write_text("Bir, iki!", encoding="utf-8")
+    norm = tok.decode(tok.encode("Bir, iki!")).strip()
+    _report_metrics(files[:1], [norm], tok)
+    out = capsys.readouterr().out
+    assert "WER: 0.00%" in out

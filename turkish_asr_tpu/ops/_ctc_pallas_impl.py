@@ -148,17 +148,14 @@ def _bwd_kernel(emit_ref, alpha_ref, final_ref, skip2_ref, il_ref, ll_ref,
 
 def _prep(log_probs, targets, input_lengths, target_lengths, blank_id):
     """Shared XLA-side prep: extended labels, emissions, masks."""
+    from turkish_asr_tpu.ops.ctc import ctc_topology
+
     B, T, V = log_probs.shape
     L = targets.shape[1]
     S = 2 * L + 1
     Sp = _round_up(S, _LANE)
 
-    ext = jnp.full((B, S), blank_id, dtype=jnp.int32)
-    ext = ext.at[:, 1::2].set(targets.astype(jnp.int32))
-    ext_shift2 = jnp.pad(ext, ((0, 0), (2, 0)),
-                         constant_values=blank_id)[:, :S]
-    pos = jnp.arange(S)[None, :]
-    allow_skip = (pos % 2 == 1) & (ext != ext_shift2)
+    ext, allow_skip = ctc_topology(targets, blank_id)
 
     ext_p = jnp.pad(ext, ((0, 0), (0, Sp - S)), constant_values=blank_id)
     skip = jnp.pad(allow_skip.astype(jnp.float32), ((0, 0), (0, Sp - S)))

@@ -30,6 +30,23 @@ def _extended_targets(targets, blank_id):
     return ext.at[:, 1::2].set(targets)
 
 
+def ctc_topology(targets, blank_id):
+    """Shared CTC transition structure: (ext, allow_skip).
+
+    ext: (B, 2L+1) blank-interleaved extended labels. allow_skip: the
+    s-2 transition is legal only for label positions whose label differs
+    from the label two slots back. Used by BOTH the scan path and the
+    Pallas kernel so the topology can never diverge between them.
+    """
+    ext = _extended_targets(targets.astype(jnp.int32), blank_id)
+    S = ext.shape[1]
+    pos = jnp.arange(S)[None, :]
+    ext_shift2 = jnp.pad(ext, ((0, 0), (2, 0)),
+                         constant_values=blank_id)[:, :S]
+    allow_skip = (pos % 2 == 1) & (ext != ext_shift2)
+    return ext, allow_skip
+
+
 @partial(jax.jit, static_argnames=("blank_id", "reduction", "zero_infinity",
                                    "impl"))
 def ctc_loss(
@@ -74,13 +91,8 @@ def ctc_loss(
     L = targets.shape[1]
     S = 2 * L + 1
 
-    ext = _extended_targets(targets.astype(jnp.int32), blank_id)  # (B, S)
+    ext, allow_skip = ctc_topology(targets, blank_id)  # (B, S) each
     pos = jnp.arange(S)[None, :]
-
-    # Transition structure: from s-1 always; from s-2 only for label positions
-    # whose label differs from the label two slots back.
-    ext_shift2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank_id)[:, :S]
-    allow_skip = (pos % 2 == 1) & (ext != ext_shift2)
 
     # Pre-gather all emissions in one vectorized gather (B, T, S); the scan
     # body is then pure arithmetic — no per-step gathers, and the backward
@@ -154,16 +166,22 @@ def make_sharded_ctc(mesh, impl="pallas", axis="data"):
     per-sample NLL (reduction="none", pre-zero_infinity masking is applied
     inside, matching ctc_loss(reduction="none")).
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local(lp, tg, il, tl):
         return ctc_loss(lp, tg, il, tl, reduction="none", impl=impl)
 
-    return shard_map(
-        local, mesh=mesh,
+    specs = dict(
         in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
-        out_specs=P(axis), check_rep=False)
+        out_specs=P(axis))
+    # Varying-across-mesh checking must be off either way: pallas_call's
+    # out_shape carries no vma/replication annotation.
+    try:
+        from jax import shard_map
+        return shard_map(local, mesh=mesh, check_vma=False, **specs)
+    except ImportError:  # older jax: experimental API, check_rep analog
+        from jax.experimental.shard_map import shard_map
+        return shard_map(local, mesh=mesh, check_rep=False, **specs)
 
 
 def ctc_loss_numpy_oracle(log_probs, targets, input_lengths, target_lengths,

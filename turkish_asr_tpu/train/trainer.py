@@ -159,8 +159,16 @@ class Trainer:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "scan"
         if impl == "pallas" and self.mesh.devices.size > 1:
-            from turkish_asr_tpu.ops.ctc import make_sharded_ctc
-            return make_sharded_ctc(self.mesh, impl="pallas")
+            if "data" in self.mesh.axis_names:
+                from turkish_asr_tpu.ops.ctc import make_sharded_ctc
+                return make_sharded_ctc(self.mesh, impl="pallas")
+            # No batch axis to shard over (e.g. --mesh_shape model=8):
+            # the kernel has no pjit partitioning story for replicated
+            # operands either, so keep the scan.
+            self.logger.warning(
+                "ctc_impl=pallas needs a 'data' mesh axis on multi-device "
+                "meshes; falling back to the scan implementation")
+            return partial(ctc_loss, reduction="none", impl="scan")
         return partial(ctc_loss, reduction="none", impl=impl)
 
     # ------------------------------------------------------------------
