@@ -187,3 +187,31 @@ def test_bpe_trie_tables_build(model):
     logits = rng.normal(0, 2.0, (2, 10, bpe.vocab_size)).astype(np.float32)
     logits[..., 0] -= 1.0
     assert dev.decode_batch(logits) == host.decode_batch(logits)
+
+
+def test_cell_lookup_strategies_agree():
+    """The one-hot matmul sandwich and the targeted 2D gather must return
+    identical cells (the threshold _CELL_GATHER_MIN_ELEMS only trades
+    speed/feasibility, never values)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from turkish_asr_tpu.ops import beam_search as bs
+
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((37, 53)).astype(np.float32))
+    rows = jnp.asarray(rng.integers(0, 37, (16,)).astype(np.int32))
+    cols = jnp.asarray(rng.integers(0, 53, (24,)).astype(np.int32))
+    pair_cols = jnp.asarray(rng.integers(0, 53, (16,)).astype(np.int32))
+
+    saved = bs._CELL_GATHER_MIN_ELEMS
+    try:
+        bs._CELL_GATHER_MIN_ELEMS = 1 << 62
+        outer_oh = bs._cell_lookup_outer(table, rows, cols)
+        pair_oh = bs._cell_lookup_pair(table, rows, pair_cols)
+        bs._CELL_GATHER_MIN_ELEMS = 1
+        outer_g = bs._cell_lookup_outer(table, rows, cols)
+        pair_g = bs._cell_lookup_pair(table, rows, pair_cols)
+    finally:
+        bs._CELL_GATHER_MIN_ELEMS = saved
+    np.testing.assert_array_equal(np.asarray(outer_oh), np.asarray(outer_g))
+    np.testing.assert_array_equal(np.asarray(pair_oh), np.asarray(pair_g))

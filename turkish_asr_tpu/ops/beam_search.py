@@ -94,6 +94,32 @@ def _pick_col(rows, cols, n_cols):
     return jnp.sum(rows * oh, axis=1)
 
 
+# Above this table size, cell lookups use a targeted 2D gather instead of
+# the one-hot matmul sandwich (which reads the whole table per step).
+# Measured NEUTRAL at the bench trie size (2389x2389, 1.00x —
+# scripts/ab_trie_lookup.py), but it is what keeps production-scale ARPA
+# word tables (100k+ words -> 1e9+ cells) usable at all.
+_CELL_GATHER_MIN_ELEMS = 1 << 20
+
+
+def _cell_lookup_outer(table, rows, cols):
+    """table[rows[i], cols[j]] -> (W, K). One-hot matmul sandwich for
+    small tables, targeted 2D gather for big ones (the sandwich
+    materializes a (W, C) intermediate — full-table work per step)."""
+    if table.size < _CELL_GATHER_MIN_ELEMS:
+        r = _row_lookup(table, rows)
+        oh = jax.nn.one_hot(cols, table.shape[1], dtype=jnp.float32)
+        return jnp.dot(r, oh.T, precision=_LOOKUP_PRECISION)
+    return table[rows[:, None], cols[None, :]].astype(jnp.float32)
+
+
+def _cell_lookup_pair(table, rows, cols):
+    """table[rows[i], cols[i]] -> (W,); same size policy as above."""
+    if table.size < _CELL_GATHER_MIN_ELEMS:
+        return _pick_col(_row_lookup(table, rows), cols, table.shape[1])
+    return table[rows, cols].astype(jnp.float32)
+
+
 def _beam_step(state, logp_t, active, beam_width, blank_id,
                lm_bias=None, lm_weight=0.3, lm_tables=None, lm_trie=None):
     last, p_b, p_nb, h1, h2, lm_state, lm_p, lm_ctx = state
@@ -164,11 +190,8 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # complete(h, p) here cost a (W, S)x(S, Wa) next_w lookup every
         # step; the advance below maintains it with the one lookup it
         # already needs.
-        Wa = lm_trie["score_w"].shape[1]
-        sc_rows = _row_lookup(lm_trie["score_w"], lm_ctx)          # (W, Wa)
         q = lm_trie["qwid"][top_tok]                               # (K,)
-        oh_q = jax.nn.one_hot(q, Wa, dtype=jnp.float32)            # (K, Wa)
-        lm = jnp.dot(sc_rows, oh_q.T, precision=_LOOKUP_PRECISION)         # (W, K)
+        lm = _cell_lookup_outer(lm_trie["score_w"], lm_ctx, q)     # (W, K)
         kind_k = lm_trie["tok_kind"][top_tok]                      # (K,)
         scores_word = (kind_k == 1) | (kind_k == 3) | (kind_k == 4)
         lm = jnp.where(scores_word[None, :], lm, 0.0)
@@ -255,15 +278,14 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         #   kind 0/2: ctx' = ctx (p empty or unchanged pair)
         #   kind 1/4: ctx' = complete(h, pw)        (base = h)
         #   kind 3  : ctx' = complete(ctx, pw)      (base = ctx)
-        Wa = lm_trie["score_w"].shape[1]
         tok_c = jnp.clip(sel_tok, 0, V - 1)
         kind = lm_trie["tok_kind"][tok_c]                          # (W,)
-        pw = _pick_col(_row_lookup(lm_trie["ptrans"], n_lm_p),
-                       tok_c, V).astype(jnp.int32)                 # (W,)
+        pw = _cell_lookup_pair(lm_trie["ptrans"], n_lm_p,
+                               tok_c).astype(jnp.int32)            # (W,)
         ctx_sel = n_lm_ctx
         base = jnp.where(kind == 3, ctx_sel, n_lm_state)
-        comp_pw = _pick_col(_row_lookup(lm_trie["next_w"], base),
-                            lm_trie["wid"][pw], Wa).astype(jnp.int32)
+        comp_pw = _cell_lookup_pair(lm_trie["next_w"], base,
+                                    lm_trie["wid"][pw]).astype(jnp.int32)
         comp_pw = jnp.where(pw == 0, base, comp_pw)
         h_next = jnp.where((kind == 2) | (kind == 3), ctx_sel,
                            jnp.where(kind == 4, comp_pw, n_lm_state))
