@@ -27,6 +27,7 @@ CASES = [
     (16, 800, 55, 128),   # 32 s bucket, S=257 -> two lane groups
     (2, 1600, 55, 200),   # long-form, S=401 -> Sp=512
     (8, 37, 7, 9),        # tiny/ragged
+    (64, 400, 55, 150),   # big B x Sp — exercises the VMEM chunk budget
 ]
 
 

@@ -242,13 +242,20 @@ def _run_backward(emit_tbs, alpha_all, final_cond, skip2, il, ll, *,
     )(emit_tbs, alpha_all, final_cond, skip2, il, ll)
 
 
-def _pick_chunk(T):
+def _pick_chunk(T, B, Sp):
     """Chunk the time axis so blocks stay comfortably inside VMEM while
-    amortizing per-grid-step overhead; Tpad = chunk * ceil(T / chunk)."""
+    amortizing per-grid-step overhead; Tpad = chunk * ceil(T / chunk).
+
+    Kernel time is flat in the chunk size (measured 8..200 all ~2 ms,
+    scripts/probe_ctc_kernel.py), so the only constraint is VMEM: the
+    backward holds ~5 (tc, B, Sp) f32 buffers (emit + alpha in/out with
+    double buffering, grad out), so cap each at ~2 MB."""
+    row_bytes = B * Sp * 4
+    budget = max(2 * 1024 * 1024 // row_bytes, 1)
     for c in (32, 16, 8):
-        if T >= c:
+        if T >= c and c <= budget:
             return c
-    return max(T, 1)
+    return max(min(T, budget), 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -270,7 +277,7 @@ def _ctc_fwd(log_probs, targets, input_lengths, target_lengths, blank_id,
     ext_p, skip, emit_tbs, alpha0, il, Sp = _prep(
         log_probs, targets, input_lengths, target_lengths, blank_id)
 
-    tc = _pick_chunk(T)
+    tc = _pick_chunk(T, B, Sp)
     Tpad = _round_up(T, tc)
     if Tpad != T:
         emit_tbs = jnp.pad(emit_tbs, ((0, Tpad - T), (0, 0), (0, 0)))
