@@ -248,13 +248,61 @@ class ASRInference:
         merged = np.concatenate(pieces, axis=0)
         return merged, merged.shape[0]
 
-    def transcribe(self, audio_path):
-        """Transcribe a single audio file -> text."""
+    def transcribe(self, audio_path, timestamps=False):
+        """Transcribe a single audio file -> text.
+
+        With ``timestamps=True`` (greedy path) returns
+        ``{"text": str, "segments": [{"word", "start", "end"}]}`` —
+        word-level timings from the CTC emission frames (one
+        post-subsample frame = 4 x hop 160 = 40 ms at 16 kHz). The
+        reference has no timestamp story; the beam path decodes text only.
+        """
         logits, out_len = self._logits(audio_path)
         if self.use_beam_search and self.decoder:
-            return self.decoder.decode(logits)
-        pred_ids = np.argmax(logits, axis=-1).tolist()
-        return self.tokenizer.ctc_decode(pred_ids)
+            text = self.decoder.decode(logits)
+            if timestamps:
+                raise ValueError(
+                    "timestamps are available on the greedy path only "
+                    "(run without --beam_search)")
+            return text
+        pred_ids = np.argmax(logits, axis=-1)
+        if not timestamps:
+            return self.tokenizer.ctc_decode(pred_ids.tolist())
+        return self._with_segments(pred_ids)
+
+    def _with_segments(self, pred_ids, frame_sec=0.04):
+        """CTC collapse keeping each kept token's emission frame, then
+        group tokens into words at the tokens' own space boundaries (the
+        same per-token text the trie LM fusion scores)."""
+        blank = getattr(self.tokenizer, "pad_token_id", 0) or 0
+        prev = -1
+        kept, frames = [], []
+        for t, tid in enumerate(pred_ids.tolist()):
+            if tid != prev and tid != blank:
+                kept.append(tid)
+                frames.append(t)
+            prev = tid
+        text = self.tokenizer.ctc_decode(pred_ids.tolist())
+        segments = []
+        word, start, last = "", None, None
+        for tid, fr in zip(kept, frames):
+            piece = self.tokenizer.decode([tid])
+            for ch_i, part in enumerate(piece.split(" ")):
+                if ch_i > 0 and word:  # space inside the piece ends a word
+                    segments.append({"word": word,
+                                     "start": round(start * frame_sec, 3),
+                                     "end": round((last + 1) * frame_sec, 3)})
+                    word, start = "", None
+                if part:
+                    if start is None:
+                        start = fr
+                    word += part
+                    last = fr
+        if word:
+            segments.append({"word": word,
+                             "start": round(start * frame_sec, 3),
+                             "end": round((last + 1) * frame_sec, 3)})
+        return {"text": text, "segments": segments}
 
     def transcribe_batch(self, audio_paths):
         """Transcribe multiple files; errors yield "" (reference contract,
@@ -383,6 +431,9 @@ def main():
                              "references (the dataset discovery rule) and "
                              "report corpus WER/CER — the trainer's "
                              "validation metrics as a standalone CLI")
+    parser.add_argument("--timestamps", action="store_true",
+                        help="Emit word-level timestamps from the CTC "
+                             "emission frames (greedy decode only)")
     args = parser.parse_args()
 
     asr = ASRInference(
@@ -403,14 +454,31 @@ def main():
     if audio_path.is_dir():
         audio_files = sorted(audio_path.glob("*.wav"))
         print(f"Found {len(audio_files)} audio files")
-        if args.beam_search:
+        if args.timestamps:
+            texts = []
+            for f in audio_files:
+                out = asr.transcribe(str(f), timestamps=True)
+                texts.append(out["text"])
+                print(f"{f.name}: {out['text']}")
+                for seg in out["segments"]:
+                    print(f"  [{seg['start']:7.2f} - {seg['end']:7.2f}] "
+                          f"{seg['word']}")
+        elif args.beam_search:
             texts = [asr.transcribe(str(f)) for f in audio_files]
         else:
             texts = asr.transcribe_files([str(f) for f in audio_files])
-        for f, text in zip(audio_files, texts):
-            print(f"{f.name}: {text}")
+        if not args.timestamps:
+            for f, text in zip(audio_files, texts):
+                print(f"{f.name}: {text}")
         if args.evaluate:
             _report_metrics(audio_files, texts, asr.tokenizer)
+    elif args.timestamps:
+        out = asr.transcribe(str(audio_path), timestamps=True)
+        print(f"\nTranscription:\n{out['text']}\n")
+        for seg in out["segments"]:
+            print(f"  [{seg['start']:7.2f} - {seg['end']:7.2f}] {seg['word']}")
+        if args.evaluate:
+            _report_metrics([audio_path], [out["text"]], asr.tokenizer)
     elif args.evaluate:
         text = asr.transcribe(str(audio_path))
         print(f"\nTranscription:\n{text}\n")

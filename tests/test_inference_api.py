@@ -170,3 +170,34 @@ def test_evaluate_reports_corpus_metrics(tmp_path, capsys):
     _report_metrics(files[:1], [norm], tok)
     out = capsys.readouterr().out
     assert "WER: 0.00%" in out
+
+
+def test_transcribe_timestamps_segments(asr, tmp_path):
+    """Word segments from a synthetic prediction: times are emission
+    frames x 40 ms, words split at the tokens' space boundaries."""
+    tok = asr.tokenizer
+    sp = tok.encode(" ")[0] if tok.encode(" ") else None
+    ids_a = tok.encode("ab")
+    ids_c = tok.encode("cd")
+    assert sp is not None and len(ids_a) == 2 and len(ids_c) == 2
+    # frames: a@1, a@2 (repeat collapses), b@4, space@6, c@8, d@9
+    pred = np.zeros(12, dtype=np.int64)
+    pred[1] = ids_a[0]; pred[2] = ids_a[0]; pred[4] = ids_a[1]
+    pred[6] = sp; pred[8] = ids_c[0]; pred[9] = ids_c[1]
+    out = asr._with_segments(pred)
+    assert out["text"] == "ab cd"
+    assert [s["word"] for s in out["segments"]] == ["ab", "cd"]
+    s0, s1 = out["segments"]
+    assert s0["start"] == pytest.approx(1 * 0.04)
+    assert s0["end"] == pytest.approx((4 + 1) * 0.04)
+    assert s1["start"] == pytest.approx(8 * 0.04)
+    assert s1["end"] == pytest.approx((9 + 1) * 0.04)
+
+
+def test_transcribe_timestamps_end_to_end(asr, wav_dir):
+    out = asr.transcribe(wav_dir[0], timestamps=True)
+    assert set(out) == {"text", "segments"}
+    joined = " ".join(s["word"] for s in out["segments"])
+    assert joined == out["text"].strip()
+    for s in out["segments"]:
+        assert 0.0 <= s["start"] < s["end"]

@@ -244,3 +244,17 @@ def test_advertised_but_undecodable_format_400(service):
         "x.mp3", b"\xff\xfb\x90\x00" + bytes(2000))
     assert status == 400
     assert "ffmpeg" in payload["detail"]
+
+
+def test_transcribe_upload_timestamps(service, wav_file):
+    with open(wav_file, "rb") as f:
+        content = f.read()
+    status, payload = service.transcribe_upload("a.wav", content,
+                                                timestamps=True)
+    assert status == 200
+    assert "segments" in payload and isinstance(payload["segments"], list)
+    assert " ".join(s["word"] for s in payload["segments"]) \
+        == payload["text"].strip()
+    # default response keeps the reference payload shape (no segments key)
+    status, payload = service.transcribe_upload("a.wav", content)
+    assert status == 200 and "segments" not in payload

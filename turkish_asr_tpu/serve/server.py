@@ -174,7 +174,7 @@ class ASRService:
                      "model_loaded": self.asr is not None,
                      "device": device}
 
-    def transcribe_upload(self, filename, content):
+    def transcribe_upload(self, filename, content, timestamps=False):
         if self.asr is None:
             return 503, {"detail": "Model not loaded"}
         ext = os.path.splitext(filename or "")[1].lower()
@@ -195,14 +195,25 @@ class ASRService:
             return 500, {"detail": f"Failed to save file: {e}"}
         try:
             start = time.time()
-            if self.batcher is not None:
+            segments = None
+            if timestamps:
+                # word timings need the per-request greedy path (the
+                # cross-request batcher decodes text only)
+                out = self.asr.transcribe(tmp_path, timestamps=True)
+                text, segments = out["text"], out["segments"]
+            elif self.batcher is not None:
                 text, err = self.batcher.submit(tmp_path)
                 if err is not None:
                     return 500, {"detail": f"Transcription failed: {err}"}
             else:
                 text = self.asr.transcribe(tmp_path)
             duration_ms = (time.time() - start) * 1000
-            return 200, {"text": text, "duration_ms": duration_ms}
+            body = {"text": text, "duration_ms": duration_ms}
+            if segments is not None:
+                body["segments"] = segments
+            return 200, body
+        except ValueError as e:  # e.g. timestamps under beam decode
+            return 400, {"detail": str(e)}
         except Exception as e:  # noqa: BLE001
             from turkish_asr_tpu.audio.wavio import UnsupportedFormatError
             if isinstance(e, UnsupportedFormatError):
@@ -321,10 +332,11 @@ def build_fastapi_app(service):
     # starving the MicroBatcher of anything to batch).
 
     @app.post("/transcribe")
-    async def transcribe_audio(file: UploadFile = File(...)):
+    async def transcribe_audio(file: UploadFile = File(...),
+                               timestamps: bool = False):
         content = await file.read()
         status, payload = await run_in_threadpool(
-            service.transcribe_upload, file.filename, content)
+            service.transcribe_upload, file.filename, content, timestamps)
         if status != 200:
             raise HTTPException(status_code=status, detail=payload["detail"])
         return payload
@@ -364,12 +376,15 @@ def run_stdlib_server(service, host, port):
             length = int(self.headers.get("Content-Length", "0"))
             body = self.rfile.read(length)
             uploads = parse_multipart(body, self.headers.get("Content-Type"))
-            if self.path == "/transcribe":
+            path, _, query = self.path.partition("?")
+            if path == "/transcribe":
                 if not uploads:
                     self._send(400, {"detail": "No file uploaded"})
                     return
-                self._send(*service.transcribe_upload(*uploads[0]))
-            elif self.path == "/transcribe/batch":
+                ts = "timestamps=1" in query or "timestamps=true" in query
+                self._send(*service.transcribe_upload(*uploads[0],
+                                                      timestamps=ts))
+            elif path == "/transcribe/batch":
                 self._send(*service.transcribe_batch(uploads))
             else:
                 self._send(404, {"detail": "Not found"})
