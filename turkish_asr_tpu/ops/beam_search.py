@@ -120,6 +120,17 @@ def _cell_lookup_pair(table, rows, cols):
     return table[rows, cols].astype(jnp.float32)
 
 
+def _vec_lookup(vec, idx):
+    """vec[idx] for a small 1-D table -> f32. One-hot sum instead of a
+    vmapped dynamic gather: the per-step vocab-vector gathers in the trie
+    fusion (tok_kind/qwid/wid), NOT the big state-table lookups, carried
+    the whole trie-vs-word-table gap (scripts/ab_trie_noop.py: stubbing
+    every cell lookup changed nothing). Integer payloads are exact in
+    f32 below 2^24."""
+    oh = jax.nn.one_hot(idx, vec.shape[0], dtype=jnp.float32)
+    return jnp.sum(oh * vec.astype(jnp.float32)[None, :], axis=1)
+
+
 def _beam_step(state, logp_t, active, beam_width, blank_id,
                lm_bias=None, lm_weight=0.3, lm_tables=None, lm_trie=None):
     last, p_b, p_nb, h1, h2, lm_state, lm_p, lm_ctx = state
@@ -190,9 +201,10 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # complete(h, p) here cost a (W, S)x(S, Wa) next_w lookup every
         # step; the advance below maintains it with the one lookup it
         # already needs.
-        q = lm_trie["qwid"][top_tok]                               # (K,)
+        q = _vec_lookup(lm_trie["qwid"], top_tok).astype(jnp.int32)  # (K,)
         lm = _cell_lookup_outer(lm_trie["score_w"], lm_ctx, q)     # (W, K)
-        kind_k = lm_trie["tok_kind"][top_tok]                      # (K,)
+        kind_k = _vec_lookup(lm_trie["tok_kind"],
+                             top_tok).astype(jnp.int32)            # (K,)
         scores_word = (kind_k == 1) | (kind_k == 3) | (kind_k == 4)
         lm = jnp.where(scores_word[None, :], lm, 0.0)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
@@ -279,13 +291,15 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         #   kind 1/4: ctx' = complete(h, pw)        (base = h)
         #   kind 3  : ctx' = complete(ctx, pw)      (base = ctx)
         tok_c = jnp.clip(sel_tok, 0, V - 1)
-        kind = lm_trie["tok_kind"][tok_c]                          # (W,)
+        kind = _vec_lookup(lm_trie["tok_kind"],
+                           tok_c).astype(jnp.int32)                # (W,)
         pw = _cell_lookup_pair(lm_trie["ptrans"], n_lm_p,
                                tok_c).astype(jnp.int32)            # (W,)
         ctx_sel = n_lm_ctx
         base = jnp.where(kind == 3, ctx_sel, n_lm_state)
+        pw_wid = _vec_lookup(lm_trie["wid"], pw).astype(jnp.int32)
         comp_pw = _cell_lookup_pair(lm_trie["next_w"], base,
-                                    lm_trie["wid"][pw]).astype(jnp.int32)
+                                    pw_wid).astype(jnp.int32)
         comp_pw = jnp.where(pw == 0, base, comp_pw)
         h_next = jnp.where((kind == 2) | (kind == 3), ctx_sel,
                            jnp.where(kind == 4, comp_pw, n_lm_state))
