@@ -102,8 +102,35 @@ def extra_probe():
     print(f"trie noop2 (no lookups at all): {r:8.1f} RTFx", flush=True)
 
 
+def probe3():
+    """noop3: _vec_lookup -> data-dependent cheap op (no table, no
+    constant folding): isolates the one-hot lookup cost from the
+    downstream where/state structure it feeds."""
+    import jax.numpy as jnp
+    from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+    from turkish_asr_tpu.decode.lm import (ArpaLanguageModel,
+                                           build_trie_fusion_tables)
+
+    tokenizer = TurkishTokenizer()
+    cfg, _, _ = bench._flagship()
+    bench._synthetic_word_arpa("/tmp/bench_words.arpa")
+    trie = build_trie_fusion_tables(
+        ArpaLanguageModel("/tmp/bench_words.arpa"), tokenizer, cfg.n_classes)
+    trie_dev = {k: (jnp.asarray(v) if hasattr(v, "shape") else v)
+                for k, v in trie.items()}
+    saved = bs._vec_lookup
+    try:
+        bs._vec_lookup = lambda v, i: (i & 3).astype(jnp.float32)
+        r = time_pipeline(lm_trie=trie_dev)
+    finally:
+        bs._vec_lookup = saved
+    print(f"trie noop3 (vec lookups -> i&3): {r:8.1f} RTFx", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "noop2":
         extra_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "noop3":
+        probe3()
     else:
         main()
