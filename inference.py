@@ -30,6 +30,12 @@ from turkish_asr_tpu.decode.lm import KenLMModel, NGramLanguageModel
 from turkish_asr_tpu.train.checkpoint import load_checkpoint_file
 
 
+class TimestampsUnsupportedError(ValueError):
+    """timestamps=True requested on a decoder without frame alignments
+    (beam search). A dedicated type so servers can map it to 400 without
+    reclassifying every internal ValueError as a client error."""
+
+
 def _check_vocab_match(n_classes, tokenizer, model_path):
     """Fail loudly when the checkpoint's output vocabulary disagrees with
     the tokenizer: a checkpoint trained with the HF vocab decoded through
@@ -257,14 +263,15 @@ class ASRInference:
         post-subsample frame = 4 x hop 160 = 40 ms at 16 kHz). The
         reference has no timestamp story; the beam path decodes text only.
         """
+        if timestamps and self.use_beam_search:
+            # refuse BEFORE the forward/beam run — the check must not
+            # cost a full transcription
+            raise TimestampsUnsupportedError(
+                "timestamps are available on the greedy path only "
+                "(run without --beam_search)")
         logits, out_len = self._logits(audio_path)
         if self.use_beam_search and self.decoder:
-            text = self.decoder.decode(logits)
-            if timestamps:
-                raise ValueError(
-                    "timestamps are available on the greedy path only "
-                    "(run without --beam_search)")
-            return text
+            return self.decoder.decode(logits)
         pred_ids = np.argmax(logits, axis=-1)
         if not timestamps:
             return self.tokenizer.ctc_decode(pred_ids.tolist())
@@ -282,7 +289,10 @@ class ASRInference:
                 kept.append(tid)
                 frames.append(t)
             prev = tid
-        text = self.tokenizer.ctc_decode(pred_ids.tolist())
+        # `kept` IS the CTC collapse, so decode it directly — re-running
+        # ctc_decode on the frame sequence would be a second O(T) pass
+        # that must stay in sync with the loop above.
+        text = self.tokenizer.decode(kept)
         segments = []
         word, start, last = "", None, None
         for tid, fr in zip(kept, frames):
@@ -457,7 +467,16 @@ def main():
         if args.timestamps:
             texts = []
             for f in audio_files:
-                out = asr.transcribe(str(f), timestamps=True)
+                # per-file error capture, like transcribe_files' "" rows
+                # (reference contract) — one corrupt wav must not abort
+                # the corpus run or its --evaluate metrics
+                try:
+                    out = asr.transcribe(str(f), timestamps=True)
+                except TimestampsUnsupportedError:
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    print(f"Error processing {f}: {e}")
+                    out = {"text": "", "segments": []}
                 texts.append(out["text"])
                 print(f"{f.name}: {out['text']}")
                 for seg in out["segments"]:

@@ -13,8 +13,14 @@ if "xla_force_host_platform_device_count" not in flags:
 # multi-host tests spawn fresh interpreters that would otherwise recompile
 # everything (~10 min of the suite), and full-suite re-runs get warm
 # starts.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/turkish_asr_jax_test_cache")
+import getpass
+import tempfile
+
+_cache_dir = os.path.join(
+    tempfile.gettempdir(),
+    f"turkish_asr_jax_test_cache_{getpass.getuser()}")  # per-user: a
+# world-shared path would hit permission errors for the second user
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402

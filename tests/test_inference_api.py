@@ -201,3 +201,23 @@ def test_transcribe_timestamps_end_to_end(asr, wav_dir):
     assert joined == out["text"].strip()
     for s in out["segments"]:
         assert 0.0 <= s["start"] < s["end"]
+
+
+def test_timestamps_under_beam_rejected_before_forward(tmp_path):
+    """timestamps + beam search raises the dedicated client-error type
+    BEFORE any audio is read or the model runs (the path given does not
+    even exist — an eager check must not cost a transcription)."""
+    from inference import ASRInference, TimestampsUnsupportedError
+
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint_file(path, {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}, params, state)
+    asr = ASRInference(path, compute_dtype=jnp.float32,
+                       use_beam_search=True, beam_width=2)
+    with pytest.raises(TimestampsUnsupportedError):
+        asr.transcribe("/nonexistent/never_read.wav", timestamps=True)

@@ -191,14 +191,18 @@ def test_bpe_trie_tables_build(model):
 
 def test_cell_lookup_strategies_agree():
     """The one-hot matmul sandwich and the targeted 2D gather must return
-    identical cells (the threshold _CELL_GATHER_MIN_ELEMS only trades
-    speed/feasibility, never values)."""
+    identical cells for the id/score payloads the beam uses. Integer-
+    valued tables are exact under BOTH strategies on every backend (the
+    one-hot path goes through _LOOKUP_PRECISION on TPU, which rounds
+    float payloads in the last ~2^-17 bits — state ids must never be
+    subject to that, and this test pins it)."""
     import numpy as np
     import jax.numpy as jnp
     from turkish_asr_tpu.ops import beam_search as bs
 
     rng = np.random.default_rng(3)
-    table = jnp.asarray(rng.standard_normal((37, 53)).astype(np.float32))
+    table = jnp.asarray(
+        rng.integers(-1000, 1000, (37, 53)).astype(np.float32))
     rows = jnp.asarray(rng.integers(0, 37, (16,)).astype(np.int32))
     cols = jnp.asarray(rng.integers(0, 53, (24,)).astype(np.int32))
     pair_cols = jnp.asarray(rng.integers(0, 53, (16,)).astype(np.int32))

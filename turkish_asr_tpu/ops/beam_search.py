@@ -100,6 +100,9 @@ def _pick_col(rows, cols, n_cols):
 # scripts/ab_trie_lookup.py), but it is what keeps production-scale ARPA
 # word tables (100k+ words -> 1e9+ cells) usable at all.
 _CELL_GATHER_MIN_ELEMS = 1 << 20
+# One-hot intermediate cap for 1-D vector lookups (per beam set; vmap
+# multiplies by batch). 16x1643 (the bench trie) stays one-hot.
+_VEC_ONEHOT_MAX_ELEMS = 1 << 17
 
 
 def _cell_lookup_outer(table, rows, cols):
@@ -121,14 +124,18 @@ def _cell_lookup_pair(table, rows, cols):
 
 
 def _vec_lookup(vec, idx):
-    """vec[idx] for a small 1-D table -> f32. One-hot sum instead of a
-    vmapped dynamic gather: the per-step vocab-vector gathers in the trie
-    fusion (tok_kind/qwid/wid), NOT the big state-table lookups, carried
-    the whole trie-vs-word-table gap (scripts/ab_trie_noop.py: stubbing
-    every cell lookup changed nothing). Integer payloads are exact in
-    f32 below 2^24."""
-    oh = jax.nn.one_hot(idx, vec.shape[0], dtype=jnp.float32)
-    return jnp.sum(oh * vec.astype(jnp.float32)[None, :], axis=1)
+    """vec[idx] for a 1-D table -> f32. One-hot sum instead of a vmapped
+    dynamic gather for small tables: the per-step vocab-vector gathers in
+    the trie fusion (tok_kind/qwid/wid), NOT the big state-table lookups,
+    carried the whole trie-vs-word-table gap (scripts/ab_trie_noop.py:
+    stubbing every cell lookup changed nothing; one-hot sums won 20%).
+    Integer payloads are exact in f32 below 2^24. Above the work cap the
+    one-hot's O(len(idx) * len(vec)) intermediate would dwarf the gather
+    (a 100k-node trie from a production ARPA), so fall back."""
+    if idx.size * vec.shape[0] <= _VEC_ONEHOT_MAX_ELEMS:
+        oh = jax.nn.one_hot(idx, vec.shape[0], dtype=jnp.float32)
+        return jnp.sum(oh * vec.astype(jnp.float32)[None, :], axis=1)
+    return vec[idx].astype(jnp.float32)
 
 
 def _beam_step(state, logp_t, active, beam_width, blank_id,

@@ -212,11 +212,14 @@ class ASRService:
             if segments is not None:
                 body["segments"] = segments
             return 200, body
-        except ValueError as e:  # e.g. timestamps under beam decode
-            return 400, {"detail": str(e)}
         except Exception as e:  # noqa: BLE001
+            # Only two CLIENT errors exist on this path; everything else
+            # (decode failures, model bugs) stays a 500 without leaking
+            # internal messages/temp paths as "your fault" responses.
             from turkish_asr_tpu.audio.wavio import UnsupportedFormatError
-            if isinstance(e, UnsupportedFormatError):
+            from inference import TimestampsUnsupportedError
+            if isinstance(e, (UnsupportedFormatError,
+                              TimestampsUnsupportedError)):
                 return 400, {"detail": str(e)}
             return 500, {"detail": f"Transcription failed: {e}"}
         finally:
@@ -381,7 +384,10 @@ def run_stdlib_server(service, host, port):
                 if not uploads:
                     self._send(400, {"detail": "No file uploaded"})
                     return
-                ts = "timestamps=1" in query or "timestamps=true" in query
+                # FastAPI-consistent bool coercion of the query param
+                from urllib.parse import parse_qs
+                raw = parse_qs(query).get("timestamps", ["false"])[-1]
+                ts = raw.lower() in ("1", "true", "yes", "on")
                 self._send(*service.transcribe_upload(*uploads[0],
                                                       timestamps=ts))
             elif path == "/transcribe/batch":
