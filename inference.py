@@ -28,12 +28,9 @@ from turkish_asr_tpu.decode.greedy import GreedyDecoder
 from turkish_asr_tpu.decode.beam import CTCBeamDecoder
 from turkish_asr_tpu.decode.lm import KenLMModel, NGramLanguageModel
 from turkish_asr_tpu.train.checkpoint import load_checkpoint_file
-
-
-class TimestampsUnsupportedError(ValueError):
-    """timestamps=True requested on a decoder without frame alignments
-    (beam search). A dedicated type so servers can map it to 400 without
-    reclassifying every internal ValueError as a client error."""
+# Re-export: the canonical definition lives in the package so server code
+# never has to import from this top-level script (utils/errors.py).
+from turkish_asr_tpu.utils.errors import TimestampsUnsupportedError  # noqa: F401
 
 
 def _check_vocab_match(n_classes, tokenizer, model_path):
@@ -281,7 +278,10 @@ class ASRInference:
         """CTC collapse keeping each kept token's emission frame, then
         group tokens into words at the tokens' own space boundaries (the
         same per-token text the trie LM fusion scores)."""
-        blank = getattr(self.tokenizer, "pad_token_id", 0) or 0
+        # Exactly the blank ctc_decode uses (tokenizer.pad_token_id, no
+        # falsy-coercion) so the timestamp text can never diverge from the
+        # plain greedy transcription of the same audio.
+        blank = self.tokenizer.pad_token_id
         prev = -1
         kept, frames = [], []
         for t, tid in enumerate(pred_ids.tolist()):
@@ -482,9 +482,12 @@ def main():
                 for seg in out["segments"]:
                     print(f"  [{seg['start']:7.2f} - {seg['end']:7.2f}] "
                           f"{seg['word']}")
-        elif args.beam_search:
-            texts = [asr.transcribe(str(f)) for f in audio_files]
         else:
+            # One batched bucket-collated forward + on-device decode per
+            # batch for BOTH greedy and beam (transcribe_files routes beam
+            # through decode_batch), with per-file error capture — a
+            # corrupt wav yields a "" row instead of aborting the corpus
+            # run and its --evaluate metrics.
             texts = asr.transcribe_files([str(f) for f in audio_files])
         if not args.timestamps:
             for f, text in zip(audio_files, texts):

@@ -221,3 +221,39 @@ def test_timestamps_under_beam_rejected_before_forward(tmp_path):
                        use_beam_search=True, beam_width=2)
     with pytest.raises(TimestampsUnsupportedError):
         asr.transcribe("/nonexistent/never_read.wav", timestamps=True)
+
+
+def test_error_type_importable_from_package():
+    """The canonical TimestampsUnsupportedError lives in the package so
+    server code can classify it without the top-level script on sys.path;
+    inference.py re-exports the SAME class object."""
+    from turkish_asr_tpu.utils.errors import TimestampsUnsupportedError as pkg
+    from inference import TimestampsUnsupportedError as script
+    assert pkg is script
+
+
+def test_beam_transcribe_files_batched_with_error_capture(wav_dir, tmp_path):
+    """Directory-mode beam decoding goes through the batched
+    transcribe_files path: results match per-file beam transcription, and
+    one corrupt wav yields a "" row instead of aborting the corpus run
+    (the greedy path's reference contract, now shared by beam)."""
+    from inference import ASRInference
+
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint_file(path, {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}, params, state)
+    asr = ASRInference(path, compute_dtype=jnp.float32,
+                       use_beam_search=True, beam_width=2,
+                       data_parallel=False)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"nope")
+    texts = asr.transcribe_files(wav_dir + [bad], batch_size=4)
+    assert texts[-1] == ""
+    per_file = [asr.transcribe(p) for p in wav_dir]
+    assert texts[:-1] == per_file

@@ -108,3 +108,51 @@ def test_export_cli_writes_reference_checkpoint(tmp_path):
     assert blob["config"]["d_model"] == cfg.d_model
     ref = _ref_model()
     ref.load_state_dict(blob["model_state_dict"], strict=True)
+
+
+def test_reference_export_onnx_runs_on_our_pt(tmp_path, monkeypatch):
+    """The LITERAL last hop: the reference's own export_onnx.py executed on
+    a .pt exported from this framework, verified with onnx.checker.
+
+    Skips where the `onnx` package is absent (it is not pip-installable in
+    the zero-egress build image — checked 2026-08-18); runs end-to-end in
+    any environment that has it. The hub tokenizer (network) is stubbed —
+    export_onnx only reads vocab_size from it, and our checkpoint pins
+    n_classes."""
+    pytest.importorskip("onnx")
+    import importlib.util
+
+    from export_model import export_torch
+    from turkish_asr_tpu.train.checkpoint import save_checkpoint_file
+
+    cfg, params, state = _our_model(seed=11)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint_file(str(ckpt), params=params, model_state=state,
+                         meta={"model_config": {
+                             "n_mels": cfg.n_mels, "d_model": cfg.d_model,
+                             "n_heads": cfg.n_heads, "n_blocks": cfg.n_blocks,
+                             "n_classes": cfg.n_classes}})
+    pt = tmp_path / "model.pt"
+    export_torch(str(ckpt), str(pt), n_mel_channels=cfg.n_mels,
+                 d_model=cfg.d_model, n_heads=cfg.n_heads,
+                 n_blocks=cfg.n_blocks)
+
+    sys.path.insert(0, REF)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_export_onnx", os.path.join(REF, "export_onnx.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(REF)
+
+    class _StubTok:
+        vocab_size = ARCH["n_classes"]
+
+    monkeypatch.setattr(mod, "TurkishTokenizer", _StubTok)
+    onnx_out = tmp_path / "model.onnx"
+    mod.export_onnx(checkpoint_path=str(pt), output_path=str(onnx_out),
+                    n_mel_channels=cfg.n_mels, d_model=cfg.d_model,
+                    n_heads=cfg.n_heads, n_blocks=cfg.n_blocks)
+    import onnx
+    onnx.checker.check_model(onnx.load(str(onnx_out)))

@@ -15,7 +15,7 @@ import pytest
 from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
 from turkish_asr_tpu.decode.beam import CTCBeamDecoder
 from turkish_asr_tpu.decode.lm import (
-    ArpaLanguageModel, build_trie_fusion_tables, tokenizer_is_concatenative)
+    ArpaLanguageModel, build_trie_fusion_tables)
 from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
 
 # Word-level trigram ARPA over real (tiny) Turkish words. The char
@@ -80,8 +80,12 @@ def trie(model, tok):
     return t
 
 
-def test_char_tokenizer_is_concatenative(tok):
-    assert tokenizer_is_concatenative(tok, tok.vocab_size)
+def test_char_tokenizer_classifies(tok):
+    """The char tokenizer passes the trie builder's actual precondition
+    (_classify_tokens): every token is a pure fragment or the space."""
+    from turkish_asr_tpu.decode.lm import _classify_tokens
+    out = _classify_tokens(tok, tok.vocab_size)
+    assert out is not None
 
 
 def _host_machine_walk(trie, tok, ids):

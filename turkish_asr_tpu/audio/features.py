@@ -169,7 +169,7 @@ def _frames_via_reshape(x, lengths, n_frames, n_fft, hop_length):
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "n_mels",
                                    "sample_rate", "f_min", "f_max", "top_db",
-                                   "normalize", "use_kernel"))
+                                   "normalize"))
 def log_mel_spectrogram(
     waveform,
     lengths=None,
@@ -183,7 +183,6 @@ def log_mel_spectrogram(
     f_max=8000.0,
     top_db=80.0,
     normalize=True,
-    use_kernel=None,
 ):
     """Compute log-mel features (optionally CMVN-normalized).
 
@@ -206,14 +205,12 @@ def log_mel_spectrogram(
     fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max))
     n_bins = n_fft // 2 + 1
 
-    # `use_kernel` is a retired knob kept for API stability: a fused Pallas
-    # mel kernel (framing + DFT + power + mel + log in one VMEM pass) was
-    # built and measured on real TPU, and XLA's fused jnp path beat it
-    # (5.8 ms vs 9.0 ms at B=128x8s — the kernel paid a 1.9x zero-pad FLOPs
-    # tax for Mosaic's 128-lane DMA alignment). The kernel was removed
-    # rather than shipped as known-slower dead code; see AGENTS.md
-    # "Pallas findings" for the measurement record.
-    del use_kernel
+    # Note: a fused Pallas mel kernel (framing + DFT + power + mel + log in
+    # one VMEM pass) was built and measured on real TPU, and XLA's fused
+    # jnp path beat it (5.8 ms vs 9.0 ms at B=128x8s — the kernel paid a
+    # 1.9x zero-pad FLOPs tax for Mosaic's 128-lane DMA alignment). The
+    # kernel and its selector knob were removed rather than shipped as
+    # known-slower dead code; see AGENTS.md "Pallas findings".
     if S > n_fft:
         frames = _frames_via_reshape(x, lengths, n_frames, n_fft,
                                      hop_length)

@@ -28,11 +28,22 @@ class ArpaLanguageModel:
         self.logprob = {}
         self.backoff = {}
         self.order = 1
+        with open(model_path, "rb") as f:
+            head = f.read(64)
+        if head.startswith(b"mmap lm http"):
+            # KenLM binary magic ("mmap lm http://kheafield.com/code ...")
+            raise ValueError(
+                f"{model_path} is a BINARY KenLM model (.bin/.klm). This "
+                "hermetic build reads text ARPA only; binary models need "
+                "the kenlm C++ package. Use the .arpa file lmplz produced "
+                "before build_binary (build_binary is one-way — keep the "
+                "ARPA), or `pip install kenlm` where allowed.")
         self._load(model_path)
         if not self.logprob:
             raise ValueError(
                 f"No n-grams parsed from {model_path}: not a text ARPA file "
-                "(binary KenLM .bin/.klm files need the kenlm package)")
+                "(binary KenLM .bin/.klm files need the kenlm package; keep "
+                "the .arpa lmplz produced before build_binary)")
         self._vocab = {w[0] for w in self.logprob if len(w) == 1}
 
     def _load(self, path):
@@ -372,32 +383,6 @@ class _WordIdentityTok:
 # Token text shapes the trie fusion understands. Anything else (internal
 # whitespace, i.e. multi-word fragments) makes the builder return None.
 _KIND_EMPTY, _KIND_FRAG, _KIND_SPACE, _KIND_SP_FRAG, _KIND_FRAG_SP = range(5)
-
-
-def tokenizer_is_concatenative(tokenizer, vocab_size, n_probe=24, seed=0):
-    """True when ``decode`` composes by string concatenation:
-    decode(a + b) == decode(a) + decode(b) for sampled id pairs. This is
-    the property that lets a trie over word prefixes track the host
-    beam's decoded-prefix context exactly (char tokenizers and our JSON
-    BPE qualify; HF word-granular tokenizers take the word-table path
-    and merge-style BPE with stripped space markers takes the host path).
-    """
-    import random
-    rng = random.Random(seed)
-    checked = 0
-    for _ in range(n_probe * 4):
-        a = rng.randrange(vocab_size)
-        b = rng.randrange(vocab_size)
-        try:
-            if tokenizer.decode([a, b]) != (tokenizer.decode([a])
-                                            + tokenizer.decode([b])):
-                return False
-        except Exception:  # noqa: BLE001
-            return False
-        checked += 1
-        if checked >= n_probe:
-            break
-    return checked > 0
 
 
 def _classify_tokens(tokenizer, vocab_size, n_validate=64, seed=0):

@@ -217,7 +217,7 @@ class ASRService:
             # (decode failures, model bugs) stays a 500 without leaking
             # internal messages/temp paths as "your fault" responses.
             from turkish_asr_tpu.audio.wavio import UnsupportedFormatError
-            from inference import TimestampsUnsupportedError
+            from turkish_asr_tpu.utils.errors import TimestampsUnsupportedError
             if isinstance(e, (UnsupportedFormatError,
                               TimestampsUnsupportedError)):
                 return 400, {"detail": str(e)}
