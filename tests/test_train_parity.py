@@ -15,13 +15,15 @@ the training transcripts exactly (equal WER = 0).
 
 import os
 import sys
-import types
 from types import SimpleNamespace
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ref_stack import import_reference as _import_reference  # noqa: E402
 
 REF = "/root/reference"
 pytestmark = [pytest.mark.slow,
@@ -31,41 +33,6 @@ pytestmark = [pytest.mark.slow,
 LR = 3e-3
 WD = 1e-6
 EPOCHS = 300  # 1 full-batch step per epoch (the overfit-test recipe)
-
-
-def _stub_jiwer():
-    """The reference's utils.metrics imports jiwer (absent here); provide
-    a functional stand-in so the module imports. WER in this test is
-    computed by our own metrics on both sides anyway."""
-    if "jiwer" in sys.modules:
-        return
-    mod = types.ModuleType("jiwer")
-
-    def _dist(a, b):
-        prev = list(range(len(b) + 1))
-        for i, x in enumerate(a, 1):
-            cur = [i]
-            for j, y in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                               prev[j - 1] + (x != y)))
-            prev = cur
-        return prev[-1]
-
-    mod.wer = lambda ref, hyp: _dist(ref.split(), hyp.split()) / max(
-        len(ref.split()), 1)
-    mod.cer = lambda ref, hyp: _dist(list(ref), list(hyp)) / max(len(ref), 1)
-    sys.modules["jiwer"] = mod
-
-
-def _import_reference():
-    _stub_jiwer()
-    sys.path.insert(0, REF)
-    try:
-        from trainer.trainer import Trainer as RefTrainer
-        from model.conformer import TurkishASRModel
-    finally:
-        sys.path.remove(REF)
-    return RefTrainer, TurkishASRModel
 
 
 def _corpus(tok):

@@ -590,28 +590,40 @@ def build_trie_fusion_tables(lm, tokenizer, vocab_size,
     if S * Wa * 2 + P * V > max_entries:
         return None
 
-    def walk(node, frag):
+    # Vectorized trie walks (round-4: the per-(p, v) Python loop was
+    # O(P*V*len) dict probes — minutes at 100k-word tries). Build a dense
+    # (P, alphabet) child array once, then each fragment walk is
+    # len(frag) numpy gathers over all P rows at once.
+    alphabet = sorted({ch for (_, ch) in children})
+    cidx = {ch: i for i, ch in enumerate(alphabet)}
+    child = np.full((P, len(alphabet) + 1), SINK, np.int32)  # last col:
+    for (node, ch), nxt in children.items():                 # unknown char
+        child[node, cidx[ch]] = nxt
+    child[SINK, :] = SINK
+
+    def walk_all(start, frag):
+        """Trie nodes reached from `start` ((P,) array or scalar) by
+        walking `frag`; dead ends land in SINK (child is SINK-closed)."""
+        cur = np.asarray(start, np.int32)
         for ch in frag:
-            if node == SINK:
-                return SINK
-            node = children.get((node, ch), SINK)
-        return node
+            cur = child[cur, cidx.get(ch, len(alphabet))]
+        return cur
 
     # ptrans[p, v]: trie node reached by v's fragment — from p for
     # FRAG/FRAG_SP, from ROOT for SP_FRAG (the leading space completed the
     # old partial), ROOT for SPACE, identity for EMPTY.
     ptrans = np.empty((P, V), np.int32)
+    all_nodes = np.arange(P, dtype=np.int32)
     for v in range(V):
         k = tok_kind[v]
         if k == _KIND_EMPTY:
-            ptrans[:, v] = np.arange(P)
+            ptrans[:, v] = all_nodes
         elif k == _KIND_SPACE:
             ptrans[:, v] = ROOT
         elif k == _KIND_SP_FRAG:
-            ptrans[:, v] = walk(ROOT, frags[v])
+            ptrans[:, v] = walk_all(ROOT, frags[v])
         else:  # FRAG, FRAG_SP
-            for p in range(P):
-                ptrans[p, v] = walk(p, frags[v])
+            ptrans[:, v] = walk_all(all_nodes, frags[v])
 
     return {
         "score_w": score_w.astype(np.float32),

@@ -140,13 +140,28 @@ def mqa_attention(
     v = v.transpose(0, 2, 1, 3)
 
     context = None
-    # The fused kernel has no attention-weight dropout; match the reference
-    # dense-path semantics by only taking it when dropout is inactive.
-    if kernel is not None and (not train or dropout <= 0.0):
-        # A kernel may decline (return None) for shapes where the fallback
-        # is faster — e.g. short sequences vs the Pallas flash kernel.
-        context = kernel(q.astype(compute_dtype), k.astype(compute_dtype),
-                         v.astype(compute_dtype), mask)
+    # A kernel may decline (return None) for shapes where the fallback is
+    # faster — e.g. short sequences vs the Pallas flash kernel.
+    if kernel is not None:
+        if not train or dropout <= 0.0:
+            context = kernel(q.astype(compute_dtype),
+                             k.astype(compute_dtype),
+                             v.astype(compute_dtype), mask)
+        elif rng is not None:
+            # Training with attention-weight dropout: the Pallas kernel
+            # generates the keep mask in-kernel from the TPU PRNG
+            # (regenerated, never stored — see ops/_flash_attention_impl).
+            # Statistically equivalent to the einsum path's bernoulli
+            # mask, different realization. Kernels without dropout
+            # support (tests pass plain callables) raise TypeError and
+            # fall through to the einsum path.
+            try:
+                context = kernel(q.astype(compute_dtype),
+                                 k.astype(compute_dtype),
+                                 v.astype(compute_dtype), mask,
+                                 dropout=dropout, rng=rng)
+            except TypeError:
+                context = None
     if context is None:
         scale = 1.0 / math.sqrt(d_head)
         # Broadcast the shared KV head instead of expanding it.

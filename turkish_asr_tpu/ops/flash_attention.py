@@ -22,6 +22,7 @@ dispatch is free at runtime. End-to-end artifact: bench.py config 5
 """
 
 import jax
+import jax.numpy as jnp
 
 MIN_KERNEL_SEQ_LEN = 512
 
@@ -32,7 +33,15 @@ def make_flash_attention(block_q=None, min_seq_len=MIN_KERNEL_SEQ_LEN):
     block_q=None picks the tile size per (static) T: 512 rows while the
     fp32 score tile (block_q x T) stays within ~8 MB of VMEM (measured
     ~3% faster than 256 at T=1600), stepping down for very long
-    sequences so the tile plus resident K/V never spills.
+    sequences so the tile plus resident K/V never spills. With dropout
+    active the uint32 keep-mask tile doubles the per-row budget, so the
+    tile shrinks accordingly.
+
+    The callable accepts optional ``dropout``/``rng`` kwargs (training):
+    attention-weight dropout runs INSIDE the kernel via the TPU hardware
+    PRNG, with the mask regenerated (not stored) in the backward — the
+    capability the reference gets from SDPA's fused dropout
+    (/root/reference/model/attention.py:238-241, training-only flash).
     """
     if jax.default_backend() != "tpu":
         return None
@@ -41,19 +50,28 @@ def make_flash_attention(block_q=None, min_seq_len=MIN_KERNEL_SEQ_LEN):
     except ImportError:
         return None
 
-    def kernel(q, k, v, mask):
+    def kernel(q, k, v, mask, dropout=0.0, rng=None):
         T = q.shape[2]
         if T < min_seq_len:
             return None  # caller falls back to the einsum path
+        rate = float(dropout)
+        if rate > 0.0 and rng is None:
+            return None  # dropout without a key: let the einsum path run
         bq = block_q
         if bq is None:
-            budget = 8 * 1024 * 1024 // (4 * T)       # fp32 score-tile rows
+            bytes_per_row = 4 * T * (2 if rate > 0.0 else 1)
+            budget = 8 * 1024 * 1024 // bytes_per_row  # score(+mask) rows
             bq = min(512, (budget // 64) * 64)
             if bq < 64:
                 # T so long that even a 64-row tile blows the budget
                 # (T > 32k frames ~ 21 min of audio in one window):
                 # decline rather than spill VMEM; einsum path handles it.
                 return None
-        return flash_attention(q, k, v, mask, block_q=bq)
+        seed = None
+        if rate > 0.0:
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(rng, (1,), jnp.uint32), jnp.int32)
+        return flash_attention(q, k, v, mask, block_q=bq,
+                               dropout_rate=rate, seed=seed)
 
     return kernel
