@@ -164,7 +164,7 @@ def _make_pipeline(cfg, attn_kernel, decode="greedy",
                       "lm_start_state": int(lm_tables[2])}
             elif lm_trie is not None:
                 kw = {"lm_trie": {k: lm_trie[k] for k in
-                                  ("score_w", "next_w", "ptrans", "wid",
+                                  ("score_w", "next_w", "pnext", "wq",
                                    "tok_kind", "qwid")},
                       "lm_start_state": int(lm_trie["start_h"])}
             ids, counts = ctc_beam_search(

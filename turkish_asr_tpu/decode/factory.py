@@ -44,8 +44,14 @@ class DeviceBeamDecoder:
         # Trie-augmented fusion (char/subword tokenizers) — see
         # decode/lm.build_trie_fusion_tables.
         if lm_trie is not None:
+            if "pnext" not in lm_trie:  # dicts built before round 4
+                from turkish_asr_tpu.decode.lm import \
+                    derive_fused_trie_advance
+                pnext, wq = derive_fused_trie_advance(
+                    lm_trie["ptrans"], lm_trie["wid"], lm_trie["tok_kind"])
+                lm_trie = dict(lm_trie, pnext=pnext, wq=wq)
             self.lm_trie = {k: jnp.asarray(lm_trie[k]) for k in
-                            ("score_w", "next_w", "ptrans", "wid",
+                            ("score_w", "next_w", "pnext", "wq",
                              "tok_kind", "qwid")}
             self.lm_trie_start = int(lm_trie["start_h"])
         else:

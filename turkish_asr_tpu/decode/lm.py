@@ -483,6 +483,91 @@ def _classify_tokens(tokenizer, vocab_size, n_validate=64, seed=0):
     return kinds, frags
 
 
+_TRIE_SPECIALS = {"<s>", "</s>", "<unk>"}
+
+
+def _word_trie_size(uni):
+    """Node count of the partial-word trie WITHOUT building the (P, V)
+    tables — size gate for builders."""
+    nodes = {""}
+    for w in uni:
+        if w in _TRIE_SPECIALS:
+            continue
+        for i in range(1, len(w) + 1):
+            nodes.add(w[:i])
+    return len(nodes) + 1  # + OOV sink
+
+
+def _word_trie_tables(uni, word_index, unk_id, tok_kind, frags, vocab_size):
+    """Build the partial-word trie over ARPA vocab words and the per-token
+    walk table. Shared by the dense (build_trie_fusion_tables) and hash
+    (build_hash_fusion_tables) builders.
+
+    Returns (ptrans (P, V) i32, wid (P,) i32, P). Node 0 = root (empty
+    partial), node 1 = OOV sink (a partial that is no prefix of any vocab
+    word can only ever map to <unk>)."""
+    import numpy as np
+
+    # Trie over prefixes of real vocab words (specials excluded — a
+    # partial word can never complete to "<s>").
+    children = {}          # (node, char) -> node
+    node_string = ["", None]   # node 1 = OOV sink
+    ROOT, SINK = 0, 1
+    for w in uni:
+        if w in _TRIE_SPECIALS:
+            continue
+        node = ROOT
+        for ch in w:
+            nxt = children.get((node, ch))
+            if nxt is None:
+                nxt = len(node_string)
+                node_string.append(
+                    (node_string[node] or "") + ch if node != SINK else None)
+                children[(node, ch)] = nxt
+            node = nxt
+    P = len(node_string)
+    wid = np.full((P,), unk_id, np.int32)
+    for p, s in enumerate(node_string):
+        if s and s in word_index and s not in _TRIE_SPECIALS:
+            wid[p] = word_index[s]
+
+    # Vectorized trie walks (round-4: the per-(p, v) Python loop was
+    # O(P*V*len) dict probes — minutes at 100k-word tries). Build a dense
+    # (P, alphabet) child array once, then each fragment walk is
+    # len(frag) numpy gathers over all P rows at once.
+    alphabet = sorted({ch for (_, ch) in children})
+    cidx = {ch: i for i, ch in enumerate(alphabet)}
+    child = np.full((P, len(alphabet) + 1), SINK, np.int32)  # last col:
+    for (node, ch), nxt in children.items():                 # unknown char
+        child[node, cidx[ch]] = nxt
+    child[SINK, :] = SINK
+
+    def walk_all(start, frag):
+        """Trie nodes reached from `start` ((P,) array or scalar) by
+        walking `frag`; dead ends land in SINK (child is SINK-closed)."""
+        cur = np.asarray(start, np.int32)
+        for ch in frag:
+            cur = child[cur, cidx.get(ch, len(alphabet))]
+        return cur
+
+    # ptrans[p, v]: trie node reached by v's fragment — from p for
+    # FRAG/FRAG_SP, from ROOT for SP_FRAG (the leading space completed the
+    # old partial), ROOT for SPACE, identity for EMPTY.
+    ptrans = np.empty((P, vocab_size), np.int32)
+    all_nodes = np.arange(P, dtype=np.int32)
+    for v in range(vocab_size):
+        k = tok_kind[v]
+        if k == _KIND_EMPTY:
+            ptrans[:, v] = all_nodes
+        elif k == _KIND_SPACE:
+            ptrans[:, v] = ROOT
+        elif k == _KIND_SP_FRAG:
+            ptrans[:, v] = walk_all(ROOT, frags[v])
+        else:  # FRAG, FRAG_SP
+            ptrans[:, v] = walk_all(all_nodes, frags[v])
+    return ptrans, wid, P
+
+
 def build_trie_fusion_tables(lm, tokenizer, vocab_size,
                              max_entries=32_000_000):
     """Compile ARPA fusion tables for SUBWORD/CHAR tokenizers.
@@ -516,6 +601,12 @@ def build_trie_fusion_tables(lm, tokenizer, vocab_size,
                               the node's string is not a vocab word)
         tok_kind (V,)   i32   _KIND_* classification of decode([v])
         qwid    (V,)    i32   ARPA word id of the token's fragment text
+        pnext   (P, V)  i32   FUSED full p-transition (kind folded in):
+                              the device advance reads p' directly instead
+                              of dispatching on kind (ops/beam_search.py)
+        wq      (P, V)  i32   word id to complete against for the carried
+                              scoring context (-1 = no completion lookup:
+                              kinds EMPTY/SPACE, or a ROOT walk result)
         start_h int, trie_nodes int
     """
     import numpy as np
@@ -563,68 +654,13 @@ def build_trie_fusion_tables(lm, tokenizer, vocab_size,
         [word_index.get(f, unk_id) if f else unk_id for f in frags],
         np.int32)
 
-    # Trie over prefixes of real vocab words (specials excluded — a
-    # partial word can never complete to "<s>").
-    specials = {"<s>", "</s>", "<unk>"}
-    children = {}          # (node, char) -> node
-    node_string = ["", None]   # node 1 = OOV sink
-    ROOT, SINK = 0, 1
-    for w in uni:
-        if w in specials:
-            continue
-        node = ROOT
-        for ch in w:
-            nxt = children.get((node, ch))
-            if nxt is None:
-                nxt = len(node_string)
-                node_string.append(
-                    (node_string[node] or "") + ch if node != SINK else None)
-                children[(node, ch)] = nxt
-            node = nxt
-    P = len(node_string)
-    wid = np.full((P,), unk_id, np.int32)
-    for p, s in enumerate(node_string):
-        if s and s in word_index and s not in specials:
-            wid[p] = word_index[s]
-
-    if S * Wa * 2 + P * V > max_entries:
+    trie_sz = _word_trie_size(uni)
+    # 3x (P, V): ptrans (host/debug) + the fused pnext/wq device tables.
+    if S * Wa * 2 + trie_sz * V * 3 > max_entries:
         return None
-
-    # Vectorized trie walks (round-4: the per-(p, v) Python loop was
-    # O(P*V*len) dict probes — minutes at 100k-word tries). Build a dense
-    # (P, alphabet) child array once, then each fragment walk is
-    # len(frag) numpy gathers over all P rows at once.
-    alphabet = sorted({ch for (_, ch) in children})
-    cidx = {ch: i for i, ch in enumerate(alphabet)}
-    child = np.full((P, len(alphabet) + 1), SINK, np.int32)  # last col:
-    for (node, ch), nxt in children.items():                 # unknown char
-        child[node, cidx[ch]] = nxt
-    child[SINK, :] = SINK
-
-    def walk_all(start, frag):
-        """Trie nodes reached from `start` ((P,) array or scalar) by
-        walking `frag`; dead ends land in SINK (child is SINK-closed)."""
-        cur = np.asarray(start, np.int32)
-        for ch in frag:
-            cur = child[cur, cidx.get(ch, len(alphabet))]
-        return cur
-
-    # ptrans[p, v]: trie node reached by v's fragment — from p for
-    # FRAG/FRAG_SP, from ROOT for SP_FRAG (the leading space completed the
-    # old partial), ROOT for SPACE, identity for EMPTY.
-    ptrans = np.empty((P, V), np.int32)
-    all_nodes = np.arange(P, dtype=np.int32)
-    for v in range(V):
-        k = tok_kind[v]
-        if k == _KIND_EMPTY:
-            ptrans[:, v] = all_nodes
-        elif k == _KIND_SPACE:
-            ptrans[:, v] = ROOT
-        elif k == _KIND_SP_FRAG:
-            ptrans[:, v] = walk_all(ROOT, frags[v])
-        else:  # FRAG, FRAG_SP
-            ptrans[:, v] = walk_all(all_nodes, frags[v])
-
+    ptrans, wid, P = _word_trie_tables(uni, word_index, unk_id, tok_kind,
+                                       frags, vocab_size)
+    pnext, wq = derive_fused_trie_advance(ptrans, wid, tok_kind)
     return {
         "score_w": score_w.astype(np.float32),
         "next_w": next_w.astype(np.int32),
@@ -632,8 +668,233 @@ def build_trie_fusion_tables(lm, tokenizer, vocab_size,
         "wid": wid,
         "tok_kind": tok_kind,
         "qwid": qwid,
+        "pnext": pnext,
+        "wq": wq,
         "start_h": int(start_h),
         "trie_nodes": P,
+    }
+
+
+def derive_fused_trie_advance(ptrans, wid, tok_kind):
+    """Fold the kind-dispatched trie advance into two (P, V) tables.
+
+    The device beam's per-step advance used to dispatch on tok_kind with a
+    chain of where/selects plus a dependent wid lookup (round-3 ablations
+    pinned the trie-vs-word-table RTFx gap on exactly those small serial
+    ops, AGENTS.md). Precomputing collapses it to two independent cell
+    lookups:
+        pnext[p, v] : the full next partial-word trie node —
+                      EMPTY: p, SPACE/FRAG_SP: ROOT, FRAG/SP_FRAG: the walk
+        wq[p, v]    : ARPA word id the carried scoring context must
+                      complete against (wid of the walked node), or -1
+                      when no completion lookup is needed (EMPTY/SPACE, or
+                      the walk landed on ROOT)
+    """
+    import numpy as np
+
+    ptrans = np.asarray(ptrans, np.int32)
+    P, V = ptrans.shape
+    k = np.asarray(tok_kind, np.int32)[None, :]             # (1, V)
+    all_nodes = np.arange(P, dtype=np.int32)[:, None]       # (P, 1)
+    pnext = np.where(k == _KIND_EMPTY, all_nodes,
+                     np.where((k == _KIND_FRAG) | (k == _KIND_SP_FRAG),
+                              ptrans, 0)).astype(np.int32)
+    wq = np.where((k == _KIND_EMPTY) | (k == _KIND_SPACE) | (ptrans == 0),
+                  -1, np.asarray(wid, np.int32)[ptrans]).astype(np.int32)
+    return pnext, wq
+
+
+# Rolling-hash params for the PRODUCTION-SCALE n-gram hash table
+# (build_hash_fusion_tables <-> ops/beam_search._hash_lm_scores). Computed
+# in uint32 wraparound arithmetic then reduced mod M — host (numpy uint32)
+# and device (jnp uint32, ops/beam_search._hash_step) match bit-for-bit.
+# Keys are verified with BOTH hashes (gathered as int32 and compared as
+# ints, no f32 round-trip), so moduli use the full int32 range: ~62 bits
+# of key identity, false-hit probability ~2^-42 even at 1e6 probes/s.
+HASH_P1, HASH_M1 = 1000003, 2147483647
+HASH_P2, HASH_M2 = 4097, 2147483629
+# Reserved "absent history" word id for left-padded context windows —
+# never a real word id (builders assert vocab < HASH_PAD_ID), so any
+# n-gram probe whose window still contains it simply misses the table.
+HASH_PAD_ID = 1 << 22
+
+
+def _roll_hash_np(ids, p, m):
+    """Rolling hash of each ROW of ids (N, L) uint32 -> (N,) int64 in
+    [0, m): h = (h * p + id + 1) mod 2^32 mod m per column, matching
+    ops/beam_search._hash_step."""
+    import numpy as np
+
+    h = np.zeros(ids.shape[0], np.uint32)
+    p = np.uint32(p)
+    one = np.uint32(1)
+    for c in range(ids.shape[1]):
+        h = (h * p + ids[:, c].astype(np.uint32) + one) % np.uint32(m)
+    return h.astype(np.int64)
+
+
+def _arpa_hash_table(model, word_index, probe_depth=8, load_factor=0.5):
+    """Pack every ARPA n-gram into an open-addressing hash table.
+
+    Layout: keys (size + depth, 2) int32 — the two rolling hashes of the
+    n-gram's word-id sequence (-1 = empty slot); vals (size + depth, 2)
+    float32 — (log10 prob, backoff weight). Slot = h1 % size, linear
+    probing with chains bounded by ``probe_depth`` AT BUILD TIME (the
+    table grows until every entry places), so the device probe is a
+    fixed-depth gather of ``probe_depth`` consecutive slots.
+
+    Insertion is vectorized: per probe round, np.unique picks one
+    contender per empty slot; survivors retry at the next offset.
+    """
+    import numpy as np
+
+    by_len = {}
+    for ng, lp in model.logprob.items():
+        by_len.setdefault(len(ng), []).append(ng)
+    h1_parts, h2_parts, prob_parts, bo_parts = [], [], [], []
+    for n, ngrams in sorted(by_len.items()):
+        ids = np.array([[word_index[w] for w in ng] for ng in ngrams],
+                       np.uint32).reshape(len(ngrams), n)
+        h1_parts.append(_roll_hash_np(ids, HASH_P1, HASH_M1))
+        h2_parts.append(_roll_hash_np(ids, HASH_P2, HASH_M2))
+        prob_parts.append(np.array([model.logprob[ng] for ng in ngrams],
+                                   np.float32))
+        bo_parts.append(np.array([model.backoff.get(ng, 0.0)
+                                  for ng in ngrams], np.float32))
+    h1 = np.concatenate(h1_parts)
+    h2 = np.concatenate(h2_parts)
+    prob = np.concatenate(prob_parts)
+    bo = np.concatenate(bo_parts)
+    total = len(h1)
+
+    pairs = h1 * (1 << 32) + h2
+    if len(np.unique(pairs)) != total:
+        raise ValueError(
+            "dual-hash collision between distinct n-grams (probability "
+            "~2^-42 at 1M n-grams) — change HASH_P1/HASH_P2 seeds")
+
+    size = max(64, int(total / load_factor))
+    while True:
+        keys = np.full((size + probe_depth, 2), -1, np.int32)
+        vals = np.zeros((size + probe_depth, 2), np.float32)
+        base = h1 % size
+        remaining = np.arange(total)
+        for d in range(probe_depth):
+            if len(remaining) == 0:
+                break
+            slot = (base[remaining] + d).astype(np.int64)
+            # one contender per slot this round; only empty slots accept
+            uniq, first = np.unique(slot, return_index=True)
+            empty = keys[uniq, 0] == -1
+            take = remaining[first[empty]]
+            tslot = uniq[empty]
+            keys[tslot, 0] = h1[take]
+            keys[tslot, 1] = h2[take]
+            vals[tslot, 0] = prob[take]
+            vals[tslot, 1] = bo[take]
+            placed = np.zeros(total, bool)
+            placed[take] = True
+            remaining = remaining[~placed[remaining]]
+        if len(remaining) == 0:
+            return keys, vals, size
+        size = int(size * 1.5)
+
+
+def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
+                             max_entries=600_000_000):
+    """PRODUCTION-SCALE trie fusion: hash-table ARPA scoring.
+
+    build_trie_fusion_tables compiles the word-level LM into dense
+    (S, Wa) score/next tables — quadratic in vocabulary, infeasible past
+    ~3k words (a 100k-word ARPA would need tens of GB). This builder keeps
+    the same partial-word trie front (pnext/wq/tok_kind/qwid) but replaces
+    the word FSM with KenLM-style probing-hash scoring:
+
+    - every beam carries its last (order-1) ARPA word ids (a context
+      WINDOW, left-padded with HASH_PAD_ID) instead of a dense state id;
+    - score_word = the exact Katz backoff recursion of
+      ArpaLanguageModel._cond_score, evaluated on device with fixed-depth
+      probes of an open-addressing hash table over ALL n-grams
+      (ops/beam_search._hash_lm_scores);
+    - complete(h, p) degenerates to shift-append — the dense path's
+      next_w lookup disappears.
+
+    Memory is linear in the ARPA (2 i32 + 2 f32 per slot at load 0.5) and
+    in the trie ((P, V) pnext/wq), so 100k+-word LMs fit easily.
+
+    Returns a dict (or None when the tokenizer can't be modeled):
+        keys (N+D, 2) i32, vals (N+D, 2) f32, table_size, probe_depth
+        order, ctx_len (= order-1), start_ctx (ctx_len,) i32
+        unk_prob float  — unigram fallback (logprob of <unk>, or -10)
+        pnext/wq (P, V) i32, tok_kind/qwid (V,) i32   — trie front
+        trie_nodes, n_words
+    """
+    import numpy as np
+
+    if isinstance(lm, str):
+        model = ArpaLanguageModel(lm)
+    elif isinstance(lm, KenLMModel):
+        if isinstance(lm.model, ArpaLanguageModel):
+            model = lm.model
+        else:
+            path = getattr(lm, "model_path", None)
+            if path is None:
+                return None
+            try:
+                model = ArpaLanguageModel(path)
+            except (OSError, ValueError):
+                return None
+    else:
+        model = lm
+
+    kinds_frags = _classify_tokens(tokenizer, vocab_size)
+    if kinds_frags is None:
+        return None
+    tok_kind, frags = kinds_frags
+
+    uni = sorted(model._vocab)
+    if "<unk>" not in model._vocab:
+        uni.append("<unk>")
+    word_index = {w: i for i, w in enumerate(uni)}
+    unk_id = word_index["<unk>"]
+    if len(uni) >= HASH_PAD_ID:
+        raise ValueError(f"ARPA vocabulary too large: {len(uni)} >= "
+                         f"{HASH_PAD_ID} (HASH_PAD_ID)")
+
+    V = vocab_size
+    tok_kind = np.asarray(tok_kind, np.int32)
+    qwid = np.asarray(
+        [word_index.get(f, unk_id) if f else unk_id for f in frags],
+        np.int32)
+
+    if _word_trie_size(uni) * V * 2 > max_entries:
+        return None
+    ptrans, wid, P = _word_trie_tables(uni, word_index, unk_id, tok_kind,
+                                       frags, vocab_size)
+    pnext, wq = derive_fused_trie_advance(ptrans, wid, tok_kind)
+
+    keys, vals, size = _arpa_hash_table(model, word_index, probe_depth)
+
+    m = max(model.order - 1, 1)
+    start_ctx = np.full((m,), HASH_PAD_ID, np.int32)
+    if "<s>" in word_index:
+        start_ctx[-1] = word_index["<s>"]
+
+    return {
+        "keys": keys,
+        "vals": vals,
+        "table_size": int(size),
+        "probe_depth": int(probe_depth),
+        "order": int(model.order),
+        "ctx_len": int(m),
+        "start_ctx": start_ctx,
+        "unk_prob": float(model.logprob.get(("<unk>",), -10.0)),
+        "pnext": pnext,
+        "wq": wq,
+        "tok_kind": tok_kind,
+        "qwid": qwid,
+        "trie_nodes": int(P),
+        "n_words": int(len(uni)),
     }
 
 

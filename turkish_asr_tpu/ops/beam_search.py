@@ -39,8 +39,15 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
-_P1, _M1 = 1000003, 2147483647   # rolling-hash params (int32-safe mod)
-_P2, _M2 = 4097, 1073741789
+# Rolling-hash params. Moduli sit BELOW 2^24 so hash values are exact in
+# f32: the top-W merge selection runs as ONE one-hot matmul over all
+# stacked payload columns (scores, parent, token, h1, h2) instead of six
+# separate dynamic gathers — a single added payload gather measured ~4.5%
+# of the whole config-4 pipeline (scripts/ab_trie_advance.py, round 4).
+# Collision budget: 48 hash bits over W*(2W^2+W) candidate pairs/step is
+# ~2^-34 per utterance-second at beam 16.
+_P1, _M1 = 1000003, 16777213     # largest prime < 2^24
+_P2, _M2 = 4097, 16777183
 
 
 def _lse(a, b):
@@ -100,9 +107,25 @@ def _pick_col(rows, cols, n_cols):
 # scripts/ab_trie_lookup.py), but it is what keeps production-scale ARPA
 # word tables (100k+ words -> 1e9+ cells) usable at all.
 _CELL_GATHER_MIN_ELEMS = 1 << 20
-# One-hot intermediate cap for 1-D vector lookups (per beam set; vmap
-# multiplies by batch). 16x1643 (the bench trie) stays one-hot.
+# One-hot intermediate cap for 1-D/vocab-vector lookups (per beam set;
+# vmap multiplies by batch). One-hot sums beat vmapped dynamic gathers
+# for small tables — the per-step vocab-vector gathers, NOT the big
+# state-table lookups, carried the bulk of the trie-vs-word-table gap
+# (scripts/ab_trie_noop.py: stubbing every cell lookup changed nothing;
+# one-hot sums won 20%). Integer payloads are exact in f32 below 2^24.
+# Above the cap the O(K * V) intermediate would dwarf the gather (a
+# 100k-node trie from a production ARPA), so fall back.
 _VEC_ONEHOT_MAX_ELEMS = 1 << 17
+
+
+def _vec_lookup(vec, idx):
+    """vec[idx] for a 1-D table -> f32. One-hot sum instead of a vmapped
+    dynamic gather for small tables (see _VEC_ONEHOT_MAX_ELEMS).
+    Integer payloads are exact in f32 below 2^24."""
+    if idx.size * vec.shape[0] <= _VEC_ONEHOT_MAX_ELEMS:
+        oh = jax.nn.one_hot(idx, vec.shape[0], dtype=jnp.float32)
+        return jnp.sum(oh * vec.astype(jnp.float32)[None, :], axis=1)
+    return vec[idx].astype(jnp.float32)
 
 
 def _cell_lookup_outer(table, rows, cols):
@@ -123,23 +146,111 @@ def _cell_lookup_pair(table, rows, cols):
     return table[rows, cols].astype(jnp.float32)
 
 
-def _vec_lookup(vec, idx):
-    """vec[idx] for a 1-D table -> f32. One-hot sum instead of a vmapped
-    dynamic gather for small tables: the per-step vocab-vector gathers in
-    the trie fusion (tok_kind/qwid/wid), NOT the big state-table lookups,
-    carried the whole trie-vs-word-table gap (scripts/ab_trie_noop.py:
-    stubbing every cell lookup changed nothing; one-hot sums won 20%).
-    Integer payloads are exact in f32 below 2^24. Above the work cap the
-    one-hot's O(len(idx) * len(vec)) intermediate would dwarf the gather
-    (a 100k-node trie from a production ARPA), so fall back."""
-    if idx.size * vec.shape[0] <= _VEC_ONEHOT_MAX_ELEMS:
-        oh = jax.nn.one_hot(idx, vec.shape[0], dtype=jnp.float32)
-        return jnp.sum(oh * vec.astype(jnp.float32)[None, :], axis=1)
-    return vec[idx].astype(jnp.float32)
+def _cell_lookup_pair_dual(table2, rows, cols, n_cols):
+    """Two paired cell lookups from ONE interleaved (P, 2*n_cols) table:
+    returns (A[r, c], B[r, c]) where A = table2[:, :n_cols] and
+    B = table2[:, n_cols:]. A single row matmul serves both — the fused
+    trie advance needs pnext and wq at the same (row, col), and two
+    independent one-hot sandwiches measured SLOWER than the op chain
+    they replaced (scripts/ab_trie_advance.py)."""
+    if table2.size < 2 * _CELL_GATHER_MIN_ELEMS:
+        r = _row_lookup(table2, rows)                     # (W, 2*n_cols)
+        oh = jax.nn.one_hot(cols, n_cols, dtype=jnp.float32)
+        return (jnp.sum(r[:, :n_cols] * oh, axis=1),
+                jnp.sum(r[:, n_cols:] * oh, axis=1))
+    return (table2[rows, cols].astype(jnp.float32),
+            table2[rows, n_cols + cols].astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Production-scale ARPA fusion: probing-hash n-gram scoring
+# (decode/lm.build_hash_fusion_tables). Beams carry a context WINDOW of
+# the last (order-1) ARPA word ids instead of a dense-state id; scoring
+# is the exact _cond_score Katz recursion with fixed-depth hash probes.
+# ---------------------------------------------------------------------------
+
+
+def _hash_params():
+    # Lazy: decode.lm owns the table-hash constants (the builder is
+    # jax-free); importing it at module load would cycle through
+    # decode/__init__ -> factory -> this module.
+    from turkish_asr_tpu.decode.lm import (HASH_M1, HASH_M2, HASH_P1,
+                                           HASH_P2)
+    return HASH_P1, HASH_M1, HASH_P2, HASH_M2
+
+
+def _hash_roll(ids, p, m):
+    """Rolling hash over the LAST axis of ids (..., L) -> (...,) int32,
+    matching decode/lm._roll_hash_np bit-for-bit."""
+    h = jnp.zeros(ids.shape[:-1], jnp.int32)
+    for i in range(ids.shape[-1]):
+        h = _hash_step(h, ids[..., i], p, m)
+    return h
+
+
+def _hash_probe(ht, h1, h2):
+    """Fixed-depth open-addressing probe. Returns (found, prob, bo), each
+    shaped like h1. Keys are compared as int32 — no f32 round-trip."""
+    base = h1 % ht["table_size"]                     # h1 >= 0 by mod
+    idx = base[..., None] + jnp.arange(ht["probe_depth"])   # (..., D)
+    k = ht["keys"][idx]                              # (..., D, 2) i32
+    v = ht["vals"][idx]                              # (..., D, 2) f32
+    hit = (k[..., 0] == h1[..., None]) & (k[..., 1] == h2[..., None])
+    hitf = hit.astype(jnp.float32)                   # at most one hit
+    found = jnp.any(hit, axis=-1)
+    prob = jnp.sum(v[..., 0] * hitf, axis=-1)
+    bo = jnp.sum(v[..., 1] * hitf, axis=-1)
+    return found, prob, bo
+
+
+def _hash_lm_scores(ht, ctx, wids):
+    """log10 p(w | ctx) for every (beam, candidate) pair — the exact
+    ArpaLanguageModel._cond_score recursion, vectorized:
+
+        s_0 = unigram(w)          (unk_prob when even that is missing)
+        s_j = prob_j              if n-gram (ctx[-j:], w) exists
+            = s_{j-1} + bo_j      otherwise (bo_j = backoff(ctx[-j:]),
+                                  0 when that context n-gram is absent)
+
+    ctx (W, m) i32 word-id windows (HASH_PAD_ID-padded on the left: a
+    padded suffix simply never hits the table — found=False, bo=0 — which
+    reproduces _cond_score's shorter-history behavior exactly).
+    wids (K,) i32. Returns (W, m ignored...) -> (W, K) f32.
+    """
+    W = ctx.shape[0]
+    m = ctx.shape[1]
+    K = wids.shape[0]
+    # j = 0: unigram (w,) — shared across beams.
+    u1 = _hash_step(jnp.zeros((K,), jnp.int32), wids, _P1, _M1)
+    u2 = _hash_step(jnp.zeros((K,), jnp.int32), wids, _P2, _M2)
+    f0, p0, _ = _hash_probe(ht, u1, u2)
+    s = jnp.broadcast_to(jnp.where(f0, p0, ht["unk_prob"])[None, :], (W, K))
+    for j in range(1, m + 1):
+        sfx = ctx[:, m - j:]                          # (W, j)
+        c1 = _hash_roll(sfx, _P1, _M1)                # (W,)
+        c2 = _hash_roll(sfx, _P2, _M2)
+        fb, _, bo = _hash_probe(ht, c1, c2)           # context backoff
+        bo = jnp.where(fb, bo, 0.0)
+        n1 = _hash_step(c1[:, None], jnp.broadcast_to(wids[None, :], (W, K)),
+                        _P1, _M1)                     # (W, K)
+        n2 = _hash_step(c2[:, None], jnp.broadcast_to(wids[None, :], (W, K)),
+                        _P2, _M2)
+        fj, pj, _ = _hash_probe(ht, n1, n2)
+        s = jnp.where(fj, pj, s + bo[:, None])
+    return s
+
+
+def _window_append(win, wid):
+    """Shift-append word ids into (W, m) context windows — the hash-mode
+    complete(h, p): where wid < 0 the window is unchanged."""
+    appended = jnp.concatenate([win[:, 1:], jnp.maximum(wid, 0)[:, None]],
+                               axis=1)
+    return jnp.where((wid < 0)[:, None], win, appended)
 
 
 def _beam_step(state, logp_t, active, beam_width, blank_id,
-               lm_bias=None, lm_weight=0.3, lm_tables=None, lm_trie=None):
+               lm_bias=None, lm_weight=0.3, lm_tables=None, lm_trie=None,
+               lm_hash=None):
     last, p_b, p_nb, h1, h2, lm_state, lm_p, lm_ctx = state
     W = beam_width
     V = logp_t.shape[0]
@@ -209,10 +320,10 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # step; the advance below maintains it with the one lookup it
         # already needs.
         q = _vec_lookup(lm_trie["qwid"], top_tok).astype(jnp.int32)  # (K,)
-        lm = _cell_lookup_outer(lm_trie["score_w"], lm_ctx, q)     # (W, K)
         kind_k = _vec_lookup(lm_trie["tok_kind"],
                              top_tok).astype(jnp.int32)            # (K,)
         scores_word = (kind_k == 1) | (kind_k == 3) | (kind_k == 4)
+        lm = _cell_lookup_outer(lm_trie["score_w"], lm_ctx, q)      # (W, K)
         lm = jnp.where(scores_word[None, :], lm, 0.0)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
@@ -271,18 +382,38 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
     score = _lse(m_pb, m_pnb)
     top_score, top_idx = jax.lax.top_k(score, W)
 
-    n_h1 = m_h1[top_idx]
-    n_h2 = m_h2[top_idx]
-    n_pb = m_pb[top_idx]
-    n_pnb = m_pnb[top_idx]
-    sel_parent = m_parent[top_idx]
-    sel_tok = m_tok[top_idx]
+    # Winner payload fetch as ONE one-hot selection matmul instead of six
+    # dynamic gathers (each batched gather under vmap measured ~4.5% of
+    # the whole config-4 pipeline). precision='highest' makes one-hot
+    # selection EXACT: 1.0 decomposes into a single bf16 piece, so every
+    # product returns the payload's full f32 bits (same trick as the CTC
+    # kernel's emission lookup). Hash payloads are < 2^24 by construction
+    # (_M1/_M2), parent/token ids are small ints, scores are f32.
+    oh_sel = jax.nn.one_hot(top_idx, m_pb.shape[0], dtype=jnp.float32)
+    payload = jnp.stack(
+        [m_pb, m_pnb, m_parent.astype(jnp.float32),
+         m_tok.astype(jnp.float32), m_h1.astype(jnp.float32),
+         m_h2.astype(jnp.float32)], axis=1)            # (W*(K+1), 6)
+    sel = jnp.dot(oh_sel, payload, precision="highest")  # (W, 6)
+    n_pb = sel[:, 0]
+    n_pnb = sel[:, 1]
+    sel_parent = sel[:, 2].astype(jnp.int32)
+    sel_tok = sel[:, 3].astype(jnp.int32)
+    n_h1 = sel[:, 4].astype(jnp.int32)
+    n_h2 = sel[:, 5].astype(jnp.int32)
 
     extended = sel_tok >= 0
-    n_last = jnp.where(extended, sel_tok, last[sel_parent])
-    n_lm_state = lm_state[sel_parent]
-    n_lm_p = lm_p[sel_parent]
-    n_lm_ctx = lm_ctx[sel_parent]
+    # Parent-state fetch: same one-hot trick folds four gathers into one
+    # (W, W) selection matmul (ids < 2^24, exact under 'highest').
+    oh_par = jax.nn.one_hot(sel_parent, W, dtype=jnp.float32)
+    pstack = jnp.stack(
+        [last.astype(jnp.float32), lm_state.astype(jnp.float32),
+         lm_p.astype(jnp.float32), lm_ctx.astype(jnp.float32)], axis=1)
+    psel = jnp.dot(oh_par, pstack, precision="highest")  # (W, 4)
+    n_last = jnp.where(extended, sel_tok, psel[:, 0].astype(jnp.int32))
+    n_lm_state = psel[:, 1].astype(jnp.int32)
+    n_lm_p = psel[:, 2].astype(jnp.int32)
+    n_lm_ctx = psel[:, 3].astype(jnp.int32)
     if lm_trie is not None:
         # State advance per token kind (decode/lm.py _KIND_*):
         #   0 empty      : (h, p) unchanged
@@ -290,8 +421,13 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         #   2 " "        : h -> complete(h, p), p -> root
         #   3 " frag"    : h -> complete(h, p), p -> walk(root, frag)
         #   4 "frag "    : h -> complete(h, walk(p, frag)), p -> root
-        # ptrans already encodes the kind-dependent walk origin. The
-        # carried ctx' = complete(h', p') needs one next_w lookup shared
+        # Round-4 fused form: the kind dispatch over p' and the dependent
+        # wid lookup are FOLDED into two precomputed tables (decode/lm.
+        # derive_fused_trie_advance) — pnext[p, v] is the full p
+        # transition, wq[p, v] the word id the scoring context completes
+        # against (-1 = none). The two cell lookups are independent;
+        # only the next_w completion remains on the dependent path.
+        # The carried ctx' = complete(h', p') shares that one lookup
         # with h': base = h except kind 3 (whose new partial completes
         # against the just-advanced context):
         #   kind 0/2: ctx' = ctx (p empty or unchanged pair)
@@ -300,21 +436,19 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         tok_c = jnp.clip(sel_tok, 0, V - 1)
         kind = _vec_lookup(lm_trie["tok_kind"],
                            tok_c).astype(jnp.int32)                # (W,)
-        pw = _cell_lookup_pair(lm_trie["ptrans"], n_lm_p,
-                               tok_c).astype(jnp.int32)            # (W,)
-        ctx_sel = n_lm_ctx
-        base = jnp.where(kind == 3, ctx_sel, n_lm_state)
-        pw_wid = _vec_lookup(lm_trie["wid"], pw).astype(jnp.int32)
-        comp_pw = _cell_lookup_pair(lm_trie["next_w"], base,
-                                    pw_wid).astype(jnp.int32)
-        comp_pw = jnp.where(pw == 0, base, comp_pw)
-        h_next = jnp.where((kind == 2) | (kind == 3), ctx_sel,
-                           jnp.where(kind == 4, comp_pw, n_lm_state))
-        p_next = jnp.where((kind == 1) | (kind == 3), pw,
-                           jnp.where(kind == 0, n_lm_p, 0))
-        ctx_next = jnp.where((kind == 0) | (kind == 2), ctx_sel, comp_pw)
+        pn, wq = _cell_lookup_pair_dual(lm_trie["pnw"], n_lm_p,
+                                        tok_c, V)                  # (W,)x2
+        pn = pn.astype(jnp.int32)
+        wq = wq.astype(jnp.int32)
+        base = jnp.where(kind == 3, n_lm_ctx, n_lm_state)
+        comp = _cell_lookup_pair(lm_trie["next_w"], base,
+                                 jnp.maximum(wq, 0)).astype(jnp.int32)
+        comp = jnp.where(wq < 0, base, comp)
+        h_next = jnp.where(kind == 4, comp,
+                           jnp.where(kind >= 2, n_lm_ctx, n_lm_state))
+        ctx_next = jnp.where((kind == 0) | (kind == 2), n_lm_ctx, comp)
         n_lm_state = jnp.where(extended, h_next, n_lm_state)
-        n_lm_p = jnp.where(extended, p_next, n_lm_p)
+        n_lm_p = jnp.where(extended, pn, n_lm_p)
         n_lm_ctx = jnp.where(extended, ctx_next, n_lm_ctx)
     if lm_tables is not None:
         # LM state advances on EVERY extension (including repeat-token
@@ -380,13 +514,24 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     p_b, p_nb = state[1], state[2]
     scores = _lse(p_b, p_nb)
 
+    # Backtrace rides the per-step link rows as scan xs (no dynamic row
+    # index) and picks the followed column with an exact one-hot dot —
+    # zero dynamic gathers, like the merge selection above. parent < W
+    # and token+1 < V+1 pack into one payload column.
+    if W * (V + 2) >= 1 << 24:  # packed payload must stay f32-exact
+        raise ValueError(f"beam_width*vocab too large for the packed "
+                         f"backtrace payload: {W} * {V + 2} >= 2**24")
+    packed_links = parents * (V + 2) + (toks + 1)        # (T, W)
+    packed_rev = packed_links[::-1].astype(jnp.float32)
+
     def backtrace(final_idx):
         """Follow (parent, token) links backwards from a final beam and
         left-pack the emitted tokens -> (ids (L,), count)."""
-        def bstep(cur, t):
-            return parents[t, cur], toks[t, cur]
-        _, toks_rev = jax.lax.scan(bstep, final_idx,
-                                   jnp.arange(T - 1, -1, -1))
+        def bstep(cur, row):
+            oh = jax.nn.one_hot(cur, W, dtype=jnp.float32)
+            v = jnp.dot(oh, row, precision="highest").astype(jnp.int32)
+            return v // (V + 2), v % (V + 2) - 1
+        _, toks_rev = jax.lax.scan(bstep, final_idx, packed_rev)
         tf = toks_rev[::-1]                          # (T,) forward order
         emitted = tf >= 0
         pos = jnp.cumsum(emitted) - 1
@@ -458,8 +603,12 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         trie = {
             "score_w": jnp.asarray(lm_trie["score_w"], jnp.float32),
             "next_w": jnp.asarray(lm_trie["next_w"], jnp.int32),
-            "ptrans": jnp.asarray(lm_trie["ptrans"], jnp.int32),
-            "wid": jnp.asarray(lm_trie["wid"], jnp.int32),
+            # Interleaved (P, 2V) [pnext | wq] — concatenated once per
+            # call (outside the scan) so the per-step advance reads both
+            # with one row lookup (_cell_lookup_pair_dual).
+            "pnw": jnp.concatenate(
+                [jnp.asarray(lm_trie["pnext"], jnp.int32),
+                 jnp.asarray(lm_trie["wq"], jnp.int32)], axis=1),
             "tok_kind": jnp.asarray(lm_trie["tok_kind"], jnp.int32),
             "qwid": jnp.asarray(lm_trie["qwid"], jnp.int32),
         }
