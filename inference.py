@@ -163,17 +163,21 @@ class ASRInference:
         if use_beam_search:
             tables = None
             trie = None
+            lm_ht = None
             lm = None
             if lm_path and os.path.exists(lm_path):
                 lm = KenLMModel(lm_path)
                 from turkish_asr_tpu.decode.lm import (
-                    build_arpa_fusion_tables, build_trie_fusion_tables,
-                    tokenizer_is_word_granular)
+                    build_arpa_fusion_tables, build_hash_fusion_tables,
+                    build_trie_fusion_tables, tokenizer_is_word_granular)
                 # "auto": word-granular tokenizers take the word-state
                 # tables; char/subword tokenizers take the trie-augmented
                 # tables (build_trie_fusion_tables — host-beam parity with
-                # partial-word tracking); only tokenizers neither builder
-                # can model fall back to the host beam.
+                # partial-word tracking); LMs whose dense tables exceed the
+                # entry budget (~3k+ words) take hash fusion
+                # (build_hash_fusion_tables — linear memory in the ARPA);
+                # only tokenizers none of the builders can model fall back
+                # to the host beam.
                 if lm_fusion in ("device", "auto"):
                     if tokenizer_is_word_granular(self.tokenizer,
                                                   cfg.n_classes):
@@ -182,7 +186,12 @@ class ASRInference:
                     if tables is None:
                         trie = build_trie_fusion_tables(
                             lm, self.tokenizer, cfg.n_classes)
-            if tables is not None or trie is not None:
+                if lm_fusion == "hash" or (tables is None and trie is None
+                                           and lm_fusion in ("device",
+                                                             "auto")):
+                    lm_ht = build_hash_fusion_tables(
+                        lm, self.tokenizer, cfg.n_classes)
+            if tables is not None or trie is not None or lm_ht is not None:
                 # Exact ARPA backoff fusion inside the on-device beam scan
                 # — the batched replacement for the reference's
                 # per-extension host KenLM round trips
@@ -191,14 +200,20 @@ class ASRInference:
                 self.decoder = DeviceBeamDecoder(self.tokenizer,
                                                  beam_width=beam_width,
                                                  lm_tables=tables,
-                                                 lm_trie=trie)
+                                                 lm_trie=trie,
+                                                 lm_hash=lm_ht)
                 if tables is not None:
                     print(f"Beam decoder: on-device ARPA fusion "
                           f"({tables[0].shape[0]} LM states)")
-                else:
+                elif trie is not None:
                     print(f"Beam decoder: on-device ARPA trie fusion "
                           f"({trie['score_w'].shape[0]} word states, "
                           f"{trie['trie_nodes']} trie nodes)")
+                else:
+                    print(f"Beam decoder: on-device ARPA hash fusion "
+                          f"({lm_ht['n_words']} words, "
+                          f"{lm_ht['table_size']} hash slots, "
+                          f"{lm_ht['trie_nodes']} trie nodes)")
             else:
                 self.decoder = CTCBeamDecoder(
                     self.tokenizer, beam_width=beam_width,
@@ -426,11 +441,15 @@ def main():
     parser.add_argument("--lm", type=str, default=None,
                         help="KenLM/ARPA language model for beam-search fusion")
     parser.add_argument("--lm_fusion", type=str, default="auto",
-                        choices=["auto", "device", "host"],
+                        choices=["auto", "device", "hash", "host"],
                         help="LM fusion path: on-device ARPA state tables "
                              "(batched throughput) vs host beam (bit parity "
                              "for char/BPE tokenizers); auto picks device "
-                             "only when each token decodes to its own word")
+                             "only when each token decodes to its own word; "
+                             "'hash' forces the production-scale hash-table "
+                             "fusion (linear memory — what auto engages for "
+                             "100k+-word ARPAs whose dense tables exceed "
+                             "the entry budget)")
     parser.add_argument("--tokenizer_path", type=str, default=None,
                         help="Tokenizer: .json BPE vocab or HF model name")
     parser.add_argument("--trust_checkpoint", action="store_true",

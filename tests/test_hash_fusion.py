@@ -1,0 +1,207 @@
+"""Production-scale hash-table ARPA fusion (decode/lm.build_hash_fusion_tables
++ ops/beam_search lm_hash mode) vs the host beam oracle and the dense trie
+path.
+
+The dense trie fusion (build_trie_fusion_tables) enumerates (S, Wa)
+score/next tables — quadratic in the ARPA vocabulary and infeasible past
+~3k words. The hash path keeps the identical partial-word trie front but
+scores n-grams by probing an open-addressing hash table (KenLM-style,
+/root/reference/utils/decoding.py:56-68 reads binary KenLM models built the
+same way) with each beam carrying its last (order-1) word ids. Semantics
+must be IDENTICAL to the trie path and to the host CTCBeamDecoder's
+per-extension score_word increments. VERDICT r3 next-step #3.
+"""
+
+import numpy as np
+import pytest
+
+from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+from turkish_asr_tpu.decode.beam import CTCBeamDecoder
+from turkish_asr_tpu.decode.lm import (
+    HASH_PAD_ID, ArpaLanguageModel, build_hash_fusion_tables,
+    build_trie_fusion_tables)
+from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
+
+ARPA = """\
+\\data\\
+ngram 1=8
+ngram 2=8
+ngram 3=3
+
+\\1-grams:
+-1.0\t<unk>\t-0.30
+-0.8\t<s>\t-0.40
+-0.9\t</s>
+-0.5\tbir\t-0.20
+-0.6\tiki\t-0.25
+-0.7\tbin\t-0.10
+-1.1\tev\t-0.15
+-1.2\to
+
+\\2-grams:
+-0.2\t<s> bir\t-0.10
+-0.4\t<s> iki
+-0.3\tbir iki\t-0.15
+-0.5\tbir ev
+-0.25\tiki bin\t-0.05
+-0.6\tiki o
+-0.45\tev bir
+-0.7\to ev
+
+\\3-grams:
+-0.1\t<s> bir iki
+-0.2\tbir iki bin
+-0.3\tiki bin o
+
+\\end\\
+"""
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    p = tmp_path_factory.mktemp("lm") / "words.arpa"
+    p.write_text(ARPA)
+    return ArpaLanguageModel(str(p))
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return TurkishTokenizer()  # char fallback in this image
+
+
+@pytest.fixture(scope="module")
+def ht(model, tok):
+    t = build_hash_fusion_tables(model, tok, tok.vocab_size)
+    assert t is not None
+    return t
+
+
+def test_hash_table_probes_match_cond_score(model, tok, ht):
+    """Every (context-window, word) probe of the device hash recursion ==
+    ArpaLanguageModel._cond_score — the exact Katz backoff the host beam
+    applies per completed word."""
+    import jax.numpy as jnp
+    from turkish_asr_tpu.ops import beam_search as bs
+
+    uni = sorted(model._vocab)
+    if "<unk>" not in model._vocab:
+        uni.append("<unk>")
+    widx = {w: i for i, w in enumerate(uni)}
+    m = ht["ctx_len"]
+    dev = {
+        "keys": jnp.asarray(ht["keys"]),
+        "vals": jnp.asarray(ht["vals"]),
+        "unk_prob": jnp.asarray(ht["unk_prob"], jnp.float32),
+        "table_size": ht["table_size"],
+        "probe_depth": ht["probe_depth"],
+    }
+    rng = np.random.default_rng(0)
+    words = [w for w in uni if w != "<s>"]
+    n_checked = 0
+    for _ in range(120):
+        clen = int(rng.integers(0, m + 1))
+        ctx_words = ["<s>"] * (clen > 0 and rng.random() < 0.3) + [
+            words[int(rng.integers(len(words)))] for _ in range(clen)]
+        ctx_words = ctx_words[-m:]
+        w = words[int(rng.integers(len(words)))]
+        want = model._cond_score(tuple(ctx_words), w)
+        win = np.full((1, m), HASH_PAD_ID, np.int32)
+        for j, cw in enumerate(ctx_words):
+            win[0, m - len(ctx_words) + j] = widx[cw]
+        got = float(np.asarray(bs._hash_lm_scores(
+            dev, jnp.asarray(win), jnp.asarray([widx[w]], np.int32)))[0, 0])
+        assert abs(got - want) < 1e-4, (ctx_words, w, got, want)
+        n_checked += 1
+    assert n_checked == 120
+
+
+def test_device_hash_beam_matches_host_beam(model, tok, ht):
+    """End-to-end: device beam with hash fusion == host beam with the same
+    ARPA LM on random logits."""
+    rng = np.random.default_rng(1)
+    V = tok.vocab_size
+    host = CTCBeamDecoder(tok, beam_width=8, lm=model, lm_weight=0.3,
+                          word_bonus=0.5)
+    dev = DeviceBeamDecoder(tok, beam_width=8, lm_hash=ht, lm_weight=0.3,
+                            word_bonus=0.5)
+    for trial in range(8):
+        T = int(rng.integers(6, 18))
+        logits = rng.normal(0, 2.0, (T, V)).astype(np.float32)
+        logits[:, 0] -= 1.0
+        want = host.decode(logits)
+        got = dev.decode(logits)
+        assert got == want, (trial, got, want)
+
+
+def test_hash_beam_matches_trie_beam_batched(model, tok, ht):
+    """The hash path and the dense trie path are two compilations of the
+    SAME fusion semantics — batched decodes must agree exactly."""
+    trie = build_trie_fusion_tables(model, tok, tok.vocab_size)
+    assert trie is not None
+    rng = np.random.default_rng(2)
+    V = tok.vocab_size
+    d_trie = DeviceBeamDecoder(tok, beam_width=6, lm_trie=trie,
+                               lm_weight=0.3)
+    d_hash = DeviceBeamDecoder(tok, beam_width=6, lm_hash=ht, lm_weight=0.3)
+    logits = rng.normal(0, 2.0, (4, 12, V)).astype(np.float32)
+    logits[..., 0] -= 1.0
+    lengths = np.array([12, 9, 7, 12], dtype=np.int32)
+    assert d_hash.decode_batch(logits, lengths) == \
+        d_trie.decode_batch(logits, lengths)
+
+
+def test_factory_falls_back_to_hash_when_trie_over_budget(model, tok,
+                                                          monkeypatch):
+    """FlashlightDecoder's auto chain: when the dense trie builder refuses
+    (entry budget — the production-scale case), hash fusion engages."""
+    import turkish_asr_tpu.decode.lm as lmmod
+    import turkish_asr_tpu.decode.factory as fmod
+
+    orig = lmmod.build_trie_fusion_tables
+    monkeypatch.setattr(
+        lmmod, "build_trie_fusion_tables",
+        lambda lm, tk, v, max_entries=32_000_000: orig(
+            lm, tk, v, max_entries=1))
+    # KenLMModel wraps an ArpaLanguageModel when handed a text ARPA path.
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".arpa",
+                                     delete=False) as f:
+        f.write(ARPA)
+        path = f.name
+    dec = fmod.FlashlightDecoder(tok, lm_path=path, beam_size=6,
+                                 lm_weight=0.3, word_score=0.0)
+    assert isinstance(dec._impl, DeviceBeamDecoder)
+    assert dec._impl.lm_hash is not None and dec._impl.lm_trie is None
+    # And it decodes identically to the un-patched trie route.
+    rng = np.random.default_rng(3)
+    logits = rng.normal(0, 2.0, (2, 10, tok.vocab_size)).astype(np.float32)
+    logits[..., 0] -= 1.0
+    trie = orig(model, tok, tok.vocab_size)
+    d_trie = DeviceBeamDecoder(tok, beam_width=6, lm_trie=trie,
+                               lm_weight=0.3, word_bonus=0.0)
+    assert dec.decode_batch(logits) == d_trie.decode_batch(logits)
+
+
+def test_short_context_left_padding_misses_table(model, tok, ht):
+    """A window still holding HASH_PAD_ID probes must miss every n-gram
+    slot (the pad id is reserved above the ARPA vocabulary), reproducing
+    _cond_score's shorter-history behavior at utterance start."""
+    import jax.numpy as jnp
+    from turkish_asr_tpu.ops import beam_search as bs
+
+    m = ht["ctx_len"]
+    dev = {
+        "keys": jnp.asarray(ht["keys"]),
+        "vals": jnp.asarray(ht["vals"]),
+        "unk_prob": jnp.asarray(ht["unk_prob"], jnp.float32),
+        "table_size": ht["table_size"],
+        "probe_depth": ht["probe_depth"],
+    }
+    uni = sorted(model._vocab)
+    widx = {w: i for i, w in enumerate(uni)}
+    # all-pad window == empty context: score must equal the unigram.
+    win = np.full((1, m), HASH_PAD_ID, np.int32)
+    got = float(np.asarray(bs._hash_lm_scores(
+        dev, jnp.asarray(win),
+        jnp.asarray([widx["bir"]], np.int32)))[0, 0])
+    assert abs(got - model._cond_score((), "bir")) < 1e-4

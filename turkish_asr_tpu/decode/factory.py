@@ -27,7 +27,7 @@ class DeviceBeamDecoder:
 
     def __init__(self, tokenizer, beam_width=16, blank_id=0,
                  lm_bias=None, lm_weight=0.3, lm_tables=None,
-                 lm_trie=None, word_bonus=0.5):
+                 lm_trie=None, lm_hash=None, word_bonus=0.5):
         import jax.numpy as jnp
         self.tokenizer = tokenizer
         self.beam_width = beam_width
@@ -56,6 +56,19 @@ class DeviceBeamDecoder:
             self.lm_trie_start = int(lm_trie["start_h"])
         else:
             self.lm_trie = None
+        # Production-scale hash fusion (100k+-word ARPAs) — see
+        # decode/lm.build_hash_fusion_tables. Shape-defining ints ride
+        # separately (static jit args).
+        if lm_hash is not None:
+            self.lm_hash = {k: jnp.asarray(lm_hash[k]) for k in
+                            ("keys", "vals", "pnext", "wq", "tok_kind",
+                             "qwid", "start_ctx")}
+            self.lm_hash["unk_prob"] = jnp.asarray(
+                lm_hash["unk_prob"], jnp.float32)
+            self.lm_hash_meta = (int(lm_hash["table_size"]),
+                                 int(lm_hash["probe_depth"]))
+        else:
+            self.lm_hash = None
         # Reference CTCBeamDecoder applies a final per-word insertion
         # bonus (beta, decoding.py:282-287); the device search returns all
         # W beams and the bonus reranks them host-side.
@@ -84,6 +97,10 @@ class DeviceBeamDecoder:
         elif self.lm_trie is not None:
             kwargs = {"lm_trie": self.lm_trie,
                       "lm_start_state": self.lm_trie_start,
+                      "lm_weight": self.lm_weight}
+        elif self.lm_hash is not None:
+            kwargs = {"lm_hash": self.lm_hash,
+                      "lm_hash_meta": self.lm_hash_meta,
                       "lm_weight": self.lm_weight}
         elif self.lm_bias is not None:
             kwargs = {"lm_bias": self.lm_bias,
@@ -147,19 +164,30 @@ class FlashlightDecoder:
         if lm is not None:
             tables = None
             trie = None
+            lm_ht = None
             vocab = getattr(tokenizer, "vocab_size", None)
             if vocab:
                 from turkish_asr_tpu.decode.lm import (
-                    build_arpa_fusion_tables, build_trie_fusion_tables,
-                    tokenizer_is_word_granular)
+                    build_arpa_fusion_tables, build_hash_fusion_tables,
+                    build_trie_fusion_tables, tokenizer_is_word_granular)
                 if tokenizer_is_word_granular(tokenizer, vocab):
                     tables = build_arpa_fusion_tables(lm, tokenizer, vocab)
                 if tables is None:
                     trie = build_trie_fusion_tables(lm, tokenizer, vocab)
+                if tables is None and trie is None:
+                    # Dense tables over budget (production-scale ARPA):
+                    # hash fusion, linear memory in the LM.
+                    lm_ht = build_hash_fusion_tables(lm, tokenizer, vocab)
             if trie is not None:
                 self._impl = DeviceBeamDecoder(tokenizer,
                                                beam_width=min(beam_size, 32),
                                                lm_trie=trie,
+                                               lm_weight=lm_weight,
+                                               word_bonus=word_score)
+            elif lm_ht is not None:
+                self._impl = DeviceBeamDecoder(tokenizer,
+                                               beam_width=min(beam_size, 32),
+                                               lm_hash=lm_ht,
                                                lm_weight=lm_weight,
                                                word_bonus=word_score)
             elif tables is not None:

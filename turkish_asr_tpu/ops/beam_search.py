@@ -217,24 +217,24 @@ def _hash_lm_scores(ht, ctx, wids):
     reproduces _cond_score's shorter-history behavior exactly).
     wids (K,) i32. Returns (W, m ignored...) -> (W, K) f32.
     """
+    hp1, hm1, hp2, hm2 = _hash_params()
     W = ctx.shape[0]
     m = ctx.shape[1]
     K = wids.shape[0]
     # j = 0: unigram (w,) — shared across beams.
-    u1 = _hash_step(jnp.zeros((K,), jnp.int32), wids, _P1, _M1)
-    u2 = _hash_step(jnp.zeros((K,), jnp.int32), wids, _P2, _M2)
+    u1 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp1, hm1)
+    u2 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp2, hm2)
     f0, p0, _ = _hash_probe(ht, u1, u2)
     s = jnp.broadcast_to(jnp.where(f0, p0, ht["unk_prob"])[None, :], (W, K))
+    wk = jnp.broadcast_to(wids[None, :], (W, K))
     for j in range(1, m + 1):
         sfx = ctx[:, m - j:]                          # (W, j)
-        c1 = _hash_roll(sfx, _P1, _M1)                # (W,)
-        c2 = _hash_roll(sfx, _P2, _M2)
+        c1 = _hash_roll(sfx, hp1, hm1)                # (W,)
+        c2 = _hash_roll(sfx, hp2, hm2)
         fb, _, bo = _hash_probe(ht, c1, c2)           # context backoff
         bo = jnp.where(fb, bo, 0.0)
-        n1 = _hash_step(c1[:, None], jnp.broadcast_to(wids[None, :], (W, K)),
-                        _P1, _M1)                     # (W, K)
-        n2 = _hash_step(c2[:, None], jnp.broadcast_to(wids[None, :], (W, K)),
-                        _P2, _M2)
+        n1 = _hash_step(c1[:, None], wk, hp1, hm1)    # (W, K)
+        n2 = _hash_step(c2[:, None], wk, hp2, hm2)
         fj, pj, _ = _hash_probe(ht, n1, n2)
         s = jnp.where(fj, pj, s + bo[:, None])
     return s
@@ -327,6 +327,20 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         lm = jnp.where(scores_word[None, :], lm, 0.0)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
+    if lm_hash is not None:
+        # Production-scale trie fusion: same trie front and scoring
+        # semantics as lm_trie, but the scoring context is a WINDOW of
+        # word ids (lm_ctx (W, m)) probed against the n-gram hash table —
+        # exact _cond_score Katz backoff, linear memory in the ARPA
+        # (decode/lm.build_hash_fusion_tables).
+        q = _vec_lookup(lm_hash["qwid"], top_tok).astype(jnp.int32)  # (K,)
+        kind_k = _vec_lookup(lm_hash["tok_kind"],
+                             top_tok).astype(jnp.int32)            # (K,)
+        scores_word = (kind_k == 1) | (kind_k == 3) | (kind_k == 4)
+        lm = _hash_lm_scores(lm_hash, lm_ctx, q)                    # (W, K)
+        lm = jnp.where(scores_word[None, :], lm, 0.0)
+        ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
+                            ext_pnb + lm_weight * lm)
     ext_pnb = jnp.where(is_blank, NEG_INF, ext_pnb)
     # Dead parents must not spawn candidates.
     ext_pnb = jnp.where(total[:, None] <= NEG_INF * 0.5, NEG_INF, ext_pnb)
@@ -403,17 +417,27 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
     n_h2 = sel[:, 5].astype(jnp.int32)
 
     extended = sel_tok >= 0
-    # Parent-state fetch: same one-hot trick folds four gathers into one
+    # Parent-state fetch: same one-hot trick folds all gathers into one
     # (W, W) selection matmul (ids < 2^24, exact under 'highest').
+    # lm_state/lm_ctx are (W,) dense-state ids for lm_tables/lm_trie and
+    # (W, m) word-id windows for lm_hash — stacked as columns either way
+    # (HASH_PAD_ID = 2^22 < 2^24 stays exact).
+    ls2 = lm_state if lm_state.ndim == 2 else lm_state[:, None]
+    lc2 = lm_ctx if lm_ctx.ndim == 2 else lm_ctx[:, None]
+    mS = ls2.shape[1]
     oh_par = jax.nn.one_hot(sel_parent, W, dtype=jnp.float32)
-    pstack = jnp.stack(
-        [last.astype(jnp.float32), lm_state.astype(jnp.float32),
-         lm_p.astype(jnp.float32), lm_ctx.astype(jnp.float32)], axis=1)
-    psel = jnp.dot(oh_par, pstack, precision="highest")  # (W, 4)
+    pstack = jnp.concatenate(
+        [last[:, None].astype(jnp.float32), ls2.astype(jnp.float32),
+         lm_p[:, None].astype(jnp.float32), lc2.astype(jnp.float32)],
+        axis=1)
+    psel = jnp.dot(oh_par, pstack, precision="highest")  # (W, 2+2m)
     n_last = jnp.where(extended, sel_tok, psel[:, 0].astype(jnp.int32))
-    n_lm_state = psel[:, 1].astype(jnp.int32)
-    n_lm_p = psel[:, 2].astype(jnp.int32)
-    n_lm_ctx = psel[:, 3].astype(jnp.int32)
+    n_lm_state = psel[:, 1:1 + mS].astype(jnp.int32)
+    n_lm_p = psel[:, 1 + mS].astype(jnp.int32)
+    n_lm_ctx = psel[:, 2 + mS:2 + 2 * mS].astype(jnp.int32)
+    if lm_state.ndim == 1:
+        n_lm_state = n_lm_state[:, 0]
+        n_lm_ctx = n_lm_ctx[:, 0]
     if lm_trie is not None:
         # State advance per token kind (decode/lm.py _KIND_*):
         #   0 empty      : (h, p) unchanged
@@ -450,6 +474,27 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         n_lm_state = jnp.where(extended, h_next, n_lm_state)
         n_lm_p = jnp.where(extended, pn, n_lm_p)
         n_lm_ctx = jnp.where(extended, ctx_next, n_lm_ctx)
+    if lm_hash is not None:
+        # Same kind-dispatched advance as lm_trie, with word-id WINDOWS:
+        # complete(h, p) = shift-append of wq — the dense path's next_w
+        # lookup disappears entirely.
+        tok_c = jnp.clip(sel_tok, 0, V - 1)
+        kind = _vec_lookup(lm_hash["tok_kind"],
+                           tok_c).astype(jnp.int32)                # (W,)
+        pn, wq = _cell_lookup_pair_dual(lm_hash["pnw"], n_lm_p,
+                                        tok_c, V)                  # (W,)x2
+        pn = pn.astype(jnp.int32)
+        wq = wq.astype(jnp.int32)
+        base = jnp.where((kind == 3)[:, None], n_lm_ctx, n_lm_state)
+        comp = _window_append(base, wq)                            # (W, m)
+        k_col = kind[:, None]
+        h_next = jnp.where(k_col == 4, comp,
+                           jnp.where(k_col >= 2, n_lm_ctx, n_lm_state))
+        ctx_next = jnp.where((k_col == 0) | (k_col == 2), n_lm_ctx, comp)
+        ext_col = extended[:, None]
+        n_lm_state = jnp.where(ext_col, h_next, n_lm_state)
+        n_lm_p = jnp.where(extended, pn, n_lm_p)
+        n_lm_ctx = jnp.where(ext_col, ctx_next, n_lm_ctx)
     if lm_tables is not None:
         # LM state advances on EVERY extension (including repeat-token
         # extends that add no LM score) — the reference recomputes its
@@ -482,7 +527,7 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
 
 def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
                         lm_bias=None, lm_weight=0.3, lm_tables=None,
-                        lm_trie=None, lm_start_state=0,
+                        lm_trie=None, lm_hash=None, lm_start_state=0,
                         return_all_beams=False):
     T, V = logp.shape
     W, L = beam_width, max_prefix_len
@@ -497,18 +542,26 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
     # tokens whenever beam_width exceeded the finite candidate count).
     h1 = -jnp.arange(W, dtype=jnp.int32)
     h2 = -jnp.arange(W, dtype=jnp.int32)
-    lm_state = jnp.full((W,), lm_start_state, dtype=jnp.int32)
+    if lm_hash is not None:
+        # Hash fusion: (W, m) word-id context windows (start = <s>).
+        start = lm_hash["start_ctx"].astype(jnp.int32)         # (m,)
+        lm_state = jnp.broadcast_to(start[None, :],
+                                    (W, start.shape[0]))
+        lm_ctx = lm_state
+    else:
+        lm_state = jnp.full((W,), lm_start_state, dtype=jnp.int32)
+        # complete(start, root) == start: the carried scoring context
+        # seeds to the start state (inert for non-trie modes).
+        lm_ctx = jnp.full((W,), lm_start_state, dtype=jnp.int32)
     lm_p = jnp.zeros((W,), dtype=jnp.int32)  # trie root (empty partial)
-    # complete(start, root) == start: the carried scoring context seeds
-    # to the start state (inert for non-trie modes).
-    lm_ctx = jnp.full((W,), lm_start_state, dtype=jnp.int32)
     state = (last, p_b, p_nb, h1, h2, lm_state, lm_p, lm_ctx)
 
     def step(state, t):
         active = t < length
         return _beam_step(state, logp[t], active, W, blank_id,
                           lm_bias=lm_bias, lm_weight=lm_weight,
-                          lm_tables=lm_tables, lm_trie=lm_trie)
+                          lm_tables=lm_tables, lm_trie=lm_trie,
+                          lm_hash=lm_hash)
 
     state, (parents, toks) = jax.lax.scan(step, state, jnp.arange(T))
     p_b, p_nb = state[1], state[2]
@@ -553,10 +606,11 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
 
 @partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len",
                                    "lm_weight", "lm_start_state",
-                                   "return_all_beams"))
+                                   "lm_hash_meta", "return_all_beams"))
 def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
                     max_prefix_len=None, lm_bias=None, lm_weight=0.3,
-                    lm_tables=None, lm_trie=None, lm_start_state=0,
+                    lm_tables=None, lm_trie=None, lm_hash=None,
+                    lm_hash_meta=None, lm_start_state=0,
                     return_all_beams=False):
     """Batched on-device CTC prefix beam search.
 
@@ -577,6 +631,13 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             trie-augmented ARPA fusion for char/subword tokenizers; each
             beam carries (word-FSM state, partial-word trie node). Its
             "start_h" seeds ``lm_start_state``.
+        lm_hash: optional dict from decode/lm.build_hash_fusion_tables —
+            PRODUCTION-SCALE trie fusion (100k+-word ARPAs): same
+            semantics as lm_trie, with hash-probed n-gram scoring and
+            (W, order-1) word-id context windows per beam. Array fields
+            only; the static ints ride ``lm_hash_meta``.
+        lm_hash_meta: static (table_size, probe_depth) for ``lm_hash``
+            (shape-defining, so they must not be traced).
         return_all_beams: when True, return every beam instead of the
             argmax — (ids (B, W, Lmax), counts (B, W), scores (B, W)) —
             so callers can apply the reference's final word-count bonus.
@@ -585,8 +646,10 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         (ids (B, Lmax) int32, counts (B,)) — best beam per batch item —
         or the all-beams triple described above.
     """
-    if sum(x is not None for x in (lm_bias, lm_tables, lm_trie)) > 1:
-        raise ValueError("pass at most one of lm_bias/lm_tables/lm_trie")
+    if sum(x is not None
+           for x in (lm_bias, lm_tables, lm_trie, lm_hash)) > 1:
+        raise ValueError(
+            "pass at most one of lm_bias/lm_tables/lm_trie/lm_hash")
     B, T, V = log_probs.shape
     L = max_prefix_len or T
     if lengths is None:
@@ -615,6 +678,26 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         out = jax.vmap(
             lambda lp, n: fn(lp, n, lm_trie=trie,
                              lm_start_state=lm_start_state))(
+            log_probs, lengths)
+    elif lm_hash is not None:
+        if lm_hash_meta is None:
+            raise ValueError("lm_hash requires lm_hash_meta="
+                             "(table_size, probe_depth)")
+        ht = {
+            "keys": jnp.asarray(lm_hash["keys"], jnp.int32),
+            "vals": jnp.asarray(lm_hash["vals"], jnp.float32),
+            "pnw": jnp.concatenate(
+                [jnp.asarray(lm_hash["pnext"], jnp.int32),
+                 jnp.asarray(lm_hash["wq"], jnp.int32)], axis=1),
+            "tok_kind": jnp.asarray(lm_hash["tok_kind"], jnp.int32),
+            "qwid": jnp.asarray(lm_hash["qwid"], jnp.int32),
+            "start_ctx": jnp.asarray(lm_hash["start_ctx"], jnp.int32),
+            "unk_prob": jnp.asarray(lm_hash["unk_prob"], jnp.float32),
+            # Shape-defining: stay Python ints through the closure.
+            "table_size": int(lm_hash_meta[0]),
+            "probe_depth": int(lm_hash_meta[1]),
+        }
+        out = jax.vmap(lambda lp, n: fn(lp, n, lm_hash=ht))(
             log_probs, lengths)
     elif lm_tables is not None:
         score_t = jnp.asarray(lm_tables[0], dtype=jnp.float32)
