@@ -774,10 +774,16 @@ def _arpa_hash_table(model, word_index, probe_depth=8, load_factor=0.5):
             "~2^-42 at 1M n-grams) — change HASH_P1/HASH_P2 seeds")
 
     size = max(64, int(total / load_factor))
-    while True:
+    # Slot = (h1 * P1 mod 2^32) % size — the extra multiply de-clusters
+    # prefix-sharing n-grams whose raw rolling hashes are CONSECUTIVE
+    # (unigrams are id+1; bigrams under one first word differ only by the
+    # last id): without it those runs livelock linear probing at every
+    # table size. Matches ops/beam_search._hash_probe bit-for-bit.
+    mixed = (h1.astype(np.uint64) * np.uint64(HASH_P1)) & 0xFFFFFFFF
+    for _ in range(32):
         keys = np.full((size + probe_depth, 2), -1, np.int32)
         vals = np.zeros((size + probe_depth, 2), np.float32)
-        base = h1 % size
+        base = mixed % size
         remaining = np.arange(total)
         for d in range(probe_depth):
             if len(remaining) == 0:
@@ -798,6 +804,10 @@ def _arpa_hash_table(model, word_index, probe_depth=8, load_factor=0.5):
         if len(remaining) == 0:
             return keys, vals, size
         size = int(size * 1.5)
+    raise RuntimeError(
+        f"hash table failed to place {len(remaining)} n-grams after 32 "
+        f"growth rounds (size {size}) — pathological key clustering; "
+        f"change HASH_P1/HASH_P2 seeds")
 
 
 def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,

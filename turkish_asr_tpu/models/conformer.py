@@ -372,6 +372,7 @@ def apply_model(
     act_constraint=None,
     remat=False,
     remat_policy=None,
+    scan_unroll=1,
 ):
     """Forward pass.
 
@@ -432,7 +433,8 @@ def apply_model(
         return (hidden, i + 1), new_s
 
     (h, _), new_block_state = jax.lax.scan(
-        body, (h, jnp.asarray(0)), (params["blocks"], state["blocks"])
+        body, (h, jnp.asarray(0)), (params["blocks"], state["blocks"]),
+        unroll=scan_unroll,
     )
 
     logits = _dense(params["fc"], h, compute_dtype).astype(jnp.float32)

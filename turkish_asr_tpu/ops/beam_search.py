@@ -190,8 +190,17 @@ def _hash_roll(ids, p, m):
 
 def _hash_probe(ht, h1, h2):
     """Fixed-depth open-addressing probe. Returns (found, prob, bo), each
-    shaped like h1. Keys are compared as int32 — no f32 round-trip."""
-    base = h1 % ht["table_size"]                     # h1 >= 0 by mod
+    shaped like h1. Keys are compared as int32 — no f32 round-trip.
+
+    The SLOT mixes h1 by one extra multiply: raw rolling hashes of
+    n-grams sharing a prefix are CONSECUTIVE integers (unigrams are
+    id+1; bigrams with a common first word differ only by the last id),
+    so h1 % size forms dense runs under which linear probing livelocks —
+    every entry hashing into a run loses all D probes at any table size.
+    Must match decode/lm._arpa_hash_table bit-for-bit (uint32 wrap)."""
+    hp1 = _hash_params()[0]
+    mixed = h1.astype(jnp.uint32) * jnp.uint32(hp1)  # wraps mod 2^32
+    base = (mixed % jnp.uint32(ht["table_size"])).astype(jnp.int32)
     idx = base[..., None] + jnp.arange(ht["probe_depth"])   # (..., D)
     k = ht["keys"][idx]                              # (..., D, 2) i32
     v = ht["vals"][idx]                              # (..., D, 2) f32
@@ -651,6 +660,12 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         raise ValueError(
             "pass at most one of lm_bias/lm_tables/lm_trie/lm_hash")
     B, T, V = log_probs.shape
+    for tabs in (lm_trie, lm_hash):
+        if tabs is not None and tabs["pnext"].shape[1] != V:
+            raise ValueError(
+                f"fusion tables were built for vocab_size="
+                f"{tabs['pnext'].shape[1]} but log_probs has V={V} — "
+                f"rebuild with the model's n_classes")
     L = max_prefix_len or T
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
