@@ -172,7 +172,7 @@ def _make_pipeline(cfg, attn_kernel, decode="greedy",
                 kw = {"lm_hash": {k: lm_hash[k] for k in
                                   ("keys", "vals", "pnext", "wq",
                                    "tok_kind", "qwid", "start_ctx",
-                                   "unk_prob")},
+                                   "unk_prob", "uniq_q", "qcol")},
                       "lm_hash_meta": (int(lm_hash["table_size"]),
                                        int(lm_hash["probe_depth"]))}
             ids, counts = ctc_beam_search(
@@ -418,7 +418,7 @@ def bench_beam_arpa_100k():
     # constant blobs (HTTP 413).
     ht_arr = {k: jnp.asarray(ht[k]) for k in
               ("keys", "vals", "pnext", "wq", "tok_kind", "qwid",
-               "start_ctx", "unk_prob")}
+               "start_ctx", "unk_prob", "uniq_q", "qcol")}
     meta = (int(ht["table_size"]), int(ht["probe_depth"]))
 
     import jax

@@ -44,7 +44,7 @@ def build(arpa_path, n_classes):
     ht = build_hash_fusion_tables(model, tok, n_classes)
     arr = {k: jnp.asarray(ht[k]) for k in
            ("keys", "vals", "pnext", "wq", "tok_kind", "qwid",
-            "start_ctx", "unk_prob")}
+            "start_ctx", "unk_prob", "uniq_q", "qcol")}
     meta = (int(ht["table_size"]), int(ht["probe_depth"]))
     return arr, meta, ht
 

@@ -62,7 +62,8 @@ class DeviceBeamDecoder:
         if lm_hash is not None:
             self.lm_hash = {k: jnp.asarray(lm_hash[k]) for k in
                             ("keys", "vals", "pnext", "wq", "tok_kind",
-                             "qwid", "start_ctx")}
+                             "qwid", "start_ctx", "uniq_q", "qcol")
+                            if k in lm_hash}
             self.lm_hash["unk_prob"] = jnp.asarray(
                 lm_hash["unk_prob"], jnp.float32)
             self.lm_hash_meta = (int(lm_hash["table_size"]),

@@ -837,6 +837,8 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
         order, ctx_len (= order-1), start_ctx (ctx_len,) i32
         unk_prob float  — unigram fallback (logprob of <unk>, or -10)
         pnext/wq (P, V) i32, tok_kind/qwid (V,) i32   — trie front
+        uniq_q (K2,) i32, qcol (V,) i32  — probe-dedup: the distinct
+            qwid values and each token's index into them
         trie_nodes, n_words
     """
     import numpy as np
@@ -876,6 +878,12 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
     qwid = np.asarray(
         [word_index.get(f, unk_id) if f else unk_id for f in frags],
         np.int32)
+    # Probe-dedup: scores depend on (ctx, word id) only, and qwid maps the
+    # V tokens onto few DISTINCT word ids (char tokenizers: almost every
+    # token's fragment is no ARPA word -> <unk>). The device search probes
+    # the K2 = len(uniq_q) distinct ids once per step and selects columns,
+    # instead of probing per candidate (ops/beam_search._beam_step).
+    uniq_q, qcol = np.unique(qwid, return_inverse=True)
 
     if _word_trie_size(uni) * V * 2 > max_entries:
         return None
@@ -903,6 +911,8 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
         "wq": wq,
         "tok_kind": tok_kind,
         "qwid": qwid,
+        "uniq_q": uniq_q.astype(np.int32),
+        "qcol": qcol.astype(np.int32),
         "trie_nodes": int(P),
         "n_words": int(len(uni)),
     }

@@ -197,18 +197,29 @@ def _hash_probe(ht, h1, h2):
     id+1; bigrams with a common first word differ only by the last id),
     so h1 % size forms dense runs under which linear probing livelocks —
     every entry hashing into a run loses all D probes at any table size.
-    Must match decode/lm._arpa_hash_table bit-for-bit (uint32 wrap)."""
+    Must match decode/lm._arpa_hash_table bit-for-bit (uint32 wrap).
+
+    Reads ride ONE fused (N, 4) slab [h1 h2 prob bo] (prob/bo bitcast to
+    i32; built once per search in ctc_beam_search) so each probe point is
+    a single contiguous D*16-byte fetch instead of two random streams."""
     hp1 = _hash_params()[0]
     mixed = h1.astype(jnp.uint32) * jnp.uint32(hp1)  # wraps mod 2^32
     base = (mixed % jnp.uint32(ht["table_size"])).astype(jnp.int32)
     idx = base[..., None] + jnp.arange(ht["probe_depth"])   # (..., D)
-    k = ht["keys"][idx]                              # (..., D, 2) i32
-    v = ht["vals"][idx]                              # (..., D, 2) f32
-    hit = (k[..., 0] == h1[..., None]) & (k[..., 1] == h2[..., None])
+    slab = ht.get("slab")
+    if slab is None:  # direct-call convenience (tests): fuse on the fly
+        slab = jnp.concatenate(
+            [jnp.asarray(ht["keys"], jnp.int32),
+             jax.lax.bitcast_convert_type(
+                 jnp.asarray(ht["vals"], jnp.float32), jnp.int32)], axis=1)
+    rows = slab[idx]                                 # (..., D, 4) i32
+    hit = (rows[..., 0] == h1[..., None]) & (rows[..., 1] == h2[..., None])
     hitf = hit.astype(jnp.float32)                   # at most one hit
     found = jnp.any(hit, axis=-1)
-    prob = jnp.sum(v[..., 0] * hitf, axis=-1)
-    bo = jnp.sum(v[..., 1] * hitf, axis=-1)
+    pv = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
+    bv = jax.lax.bitcast_convert_type(rows[..., 3], jnp.float32)
+    prob = jnp.sum(pv * hitf, axis=-1)
+    bo = jnp.sum(bv * hitf, axis=-1)
     return found, prob, bo
 
 
@@ -342,11 +353,24 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
         # word ids (lm_ctx (W, m)) probed against the n-gram hash table —
         # exact _cond_score Katz backoff, linear memory in the ARPA
         # (decode/lm.build_hash_fusion_tables).
-        q = _vec_lookup(lm_hash["qwid"], top_tok).astype(jnp.int32)  # (K,)
         kind_k = _vec_lookup(lm_hash["tok_kind"],
                              top_tok).astype(jnp.int32)            # (K,)
         scores_word = (kind_k == 1) | (kind_k == 3) | (kind_k == 4)
-        lm = _hash_lm_scores(lm_hash, lm_ctx, q)                    # (W, K)
+        uq = lm_hash.get("uniq_q")
+        if uq is not None and uq.shape[0] < K:
+            # Probe-dedup: qwid maps the V tokens onto K2 < K distinct
+            # word ids (char tokenizers: nearly all fragments -> <unk>),
+            # and the score depends only on (ctx, word id) — so probe the
+            # K2 distinct ids once and select candidate columns with an
+            # exact one-hot matmul ('highest': a*1.0 sums exactly).
+            K2 = uq.shape[0]
+            lm_all = _hash_lm_scores(lm_hash, lm_ctx, uq)           # (W, K2)
+            col = _vec_lookup(lm_hash["qcol"], top_tok).astype(jnp.int32)
+            oh = jax.nn.one_hot(col, K2, dtype=jnp.float32)         # (K, K2)
+            lm = jnp.dot(lm_all, oh.T, precision=_LOOKUP_PRECISION)  # (W, K)
+        else:
+            q = _vec_lookup(lm_hash["qwid"], top_tok).astype(jnp.int32)
+            lm = _hash_lm_scores(lm_hash, lm_ctx, q)                # (W, K)
         lm = jnp.where(scores_word[None, :], lm, 0.0)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
@@ -699,8 +723,13 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             raise ValueError("lm_hash requires lm_hash_meta="
                              "(table_size, probe_depth)")
         ht = {
-            "keys": jnp.asarray(lm_hash["keys"], jnp.int32),
-            "vals": jnp.asarray(lm_hash["vals"], jnp.float32),
+            # Fused probe slab [h1 h2 prob bo] — one contiguous fetch per
+            # probe point (_hash_probe) instead of two random streams.
+            "slab": jnp.concatenate(
+                [jnp.asarray(lm_hash["keys"], jnp.int32),
+                 jax.lax.bitcast_convert_type(
+                     jnp.asarray(lm_hash["vals"], jnp.float32),
+                     jnp.int32)], axis=1),
             "pnw": jnp.concatenate(
                 [jnp.asarray(lm_hash["pnext"], jnp.int32),
                  jnp.asarray(lm_hash["wq"], jnp.int32)], axis=1),
@@ -712,6 +741,9 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             "table_size": int(lm_hash_meta[0]),
             "probe_depth": int(lm_hash_meta[1]),
         }
+        if "uniq_q" in lm_hash:  # probe-dedup (builders emit since r4)
+            ht["uniq_q"] = jnp.asarray(lm_hash["uniq_q"], jnp.int32)
+            ht["qcol"] = jnp.asarray(lm_hash["qcol"], jnp.int32)
         out = jax.vmap(lambda lp, n: fn(lp, n, lm_hash=ht))(
             log_probs, lengths)
     elif lm_tables is not None:
