@@ -559,7 +559,15 @@ def bench_train_small():
     _emit("train_step_ms_b8", sec * 1e3, "ms/step", config=2,
           eval_step_ms=round(eval_sec * 1e3, 2),
           audio_sec_per_sec=round(8 * SECONDS / sec, 2),
-          mfu=_train_mfu(8, sec))
+          mfu=_train_mfu(8, sec),
+          # B=8 cost anatomy (scripts/profile_config2.py, VERDICT r3 #5):
+          # CTC kernel and optimizer update are ~free (<0.1 ms each inside
+          # the fused step); the per-sample premium vs B=32 is a ~2.3 ms
+          # batch-independent floor — mel front-end ~0.8 ms fixed +
+          # forward fixed share (fwd scales 2.4x for 4x batch) — while
+          # the backward scales linearly. MFU at B=8 is shape-bound (the
+          # same model at B=32 reaches config-3's number); not dispatch.
+          anatomy="fixed_floor~2.3ms(mel0.8+fwd1.5); ctc,update~0")
 
 
 def bench_train_aug():
