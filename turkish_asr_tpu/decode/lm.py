@@ -713,6 +713,10 @@ def derive_fused_trie_advance(ptrans, wid, tok_kind):
 # of key identity, false-hit probability ~2^-42 even at 1e6 probes/s.
 HASH_P1, HASH_M1 = 1000003, 2147483647
 HASH_P2, HASH_M2 = 4097, 2147483629
+# Second cuckoo-slot mix (Knuth's multiplicative constant): slot2 =
+# (h2 * HASH_MIX2 mod 2^32) % table_size. Independent of slot1's
+# h1·HASH_P1 mix because h1/h2 are independent rolling hashes.
+HASH_MIX2 = 2654435761
 # Reserved "absent history" word id for left-padded context windows —
 # never a real word id (builders assert vocab < HASH_PAD_ID), so any
 # n-gram probe whose window still contains it simply misses the table.
@@ -733,18 +737,26 @@ def _roll_hash_np(ids, p, m):
     return h.astype(np.int64)
 
 
-def _arpa_hash_table(model, word_index, probe_depth=8, load_factor=0.5):
-    """Pack every ARPA n-gram into an open-addressing hash table.
+def _arpa_hash_table(model, word_index, load_factor=0.45):
+    """Pack every ARPA n-gram into a two-choice CUCKOO hash table.
 
-    Layout: keys (size + depth, 2) int32 — the two rolling hashes of the
-    n-gram's word-id sequence (-1 = empty slot); vals (size + depth, 2)
-    float32 — (log10 prob, backoff weight). Slot = h1 % size, linear
-    probing with chains bounded by ``probe_depth`` AT BUILD TIME (the
-    table grows until every entry places), so the device probe is a
-    fixed-depth gather of ``probe_depth`` consecutive slots.
+    Layout: keys (size, 2) int32 — the two rolling hashes of the n-gram's
+    word-id sequence (-1 = empty slot); vals (size, 2) float32 —
+    (log10 prob, backoff weight). Every entry sits at exactly one of TWO
+    slots — slot1 = (h1·HASH_P1 mod 2^32) % size, slot2 = (h2·HASH_MIX2
+    mod 2^32) % size — so the device probe gathers 2 rows per point
+    (ops/beam_search._hash_probe). The previous linear-probing scheme
+    needed depth-8 chains and grew to load ~0.1 (10.6M slots for 1.05M
+    n-grams) before every chain fit; the probe gather is ~linear in
+    fetched rows on v5e (scripts/ab_hash_probe_cost.py: depth 8→2 took
+    the 100k-ARPA beam 474→178 ms/iter), so 8→2 rows is the whole win,
+    and cuckoo packs at load 0.45 (the two-choice threshold is 0.5),
+    shrinking the table ~4.5× on top.
 
-    Insertion is vectorized: per probe round, np.unique picks one
-    contender per empty slot; survivors retry at the next offset.
+    Insertion is a vectorized random-walk: each round every pending entry
+    claims its current-side slot (one winner per slot via scatter); the
+    displaced occupant and the round's losers flip to their other slot
+    and retry. Residue after the round cap grows the table 1.3×.
     """
     import numpy as np
 
@@ -774,43 +786,52 @@ def _arpa_hash_table(model, word_index, probe_depth=8, load_factor=0.5):
             "~2^-42 at 1M n-grams) — change HASH_P1/HASH_P2 seeds")
 
     size = max(64, int(total / load_factor))
-    # Slot = (h1 * P1 mod 2^32) % size — the extra multiply de-clusters
-    # prefix-sharing n-grams whose raw rolling hashes are CONSECUTIVE
-    # (unigrams are id+1; bigrams under one first word differ only by the
-    # last id): without it those runs livelock linear probing at every
-    # table size. Matches ops/beam_search._hash_probe bit-for-bit.
-    mixed = (h1.astype(np.uint64) * np.uint64(HASH_P1)) & 0xFFFFFFFF
-    for _ in range(32):
-        keys = np.full((size + probe_depth, 2), -1, np.int32)
-        vals = np.zeros((size + probe_depth, 2), np.float32)
-        base = mixed % size
-        remaining = np.arange(total)
-        for d in range(probe_depth):
-            if len(remaining) == 0:
+    # Slots mix the raw hashes by one multiply each: rolling hashes of
+    # prefix-sharing n-grams are CONSECUTIVE integers (unigrams are id+1;
+    # bigrams under one first word differ only by the last id), so h % size
+    # alone forms dense runs. Matches ops/beam_search._hash_probe
+    # bit-for-bit (uint32 wrap on both sides).
+    for _ in range(16):
+        pos1 = (((h1.astype(np.uint64) * np.uint64(HASH_P1))
+                 & 0xFFFFFFFF) % size).astype(np.int64)
+        pos2 = (((h2.astype(np.uint64) * np.uint64(HASH_MIX2))
+                 & 0xFFFFFFFF) % size).astype(np.int64)
+        entry_at = np.full(size, -1, np.int64)
+        side = np.zeros(total, np.uint8)
+        pending = np.arange(total)
+        for _round in range(256):
+            if len(pending) == 0:
                 break
-            slot = (base[remaining] + d).astype(np.int64)
-            # one contender per slot this round; only empty slots accept
-            uniq, first = np.unique(slot, return_index=True)
-            empty = keys[uniq, 0] == -1
-            take = remaining[first[empty]]
-            tslot = uniq[empty]
-            keys[tslot, 0] = h1[take]
-            keys[tslot, 1] = h2[take]
-            vals[tslot, 0] = prob[take]
-            vals[tslot, 1] = bo[take]
-            placed = np.zeros(total, bool)
-            placed[take] = True
-            remaining = remaining[~placed[remaining]]
-        if len(remaining) == 0:
+            pos = np.where(side[pending] == 0, pos1[pending], pos2[pending])
+            claim = np.full(size, -1, np.int64)
+            claim[pos] = pending            # last writer wins the slot
+            won = claim[pos] == pending
+            win_pos = pos[won]
+            evicted = entry_at[win_pos]     # read before write: prior rounds'
+            entry_at[win_pos] = pending[won]  # occupants only
+            ev = evicted[evicted >= 0]
+            side[ev] ^= 1                   # displaced: try the other slot
+            lost = pending[~won]
+            side[lost] ^= 1
+            pending = np.concatenate([lost, ev])
+        if len(pending) == 0:
+            keys = np.full((size, 2), -1, np.int32)
+            vals = np.zeros((size, 2), np.float32)
+            filled = np.nonzero(entry_at >= 0)[0]
+            e = entry_at[filled]
+            keys[filled, 0] = h1[e]
+            keys[filled, 1] = h2[e]
+            vals[filled, 0] = prob[e]
+            vals[filled, 1] = bo[e]
             return keys, vals, size
-        size = int(size * 1.5)
+        size = int(size * 1.3)
     raise RuntimeError(
-        f"hash table failed to place {len(remaining)} n-grams after 32 "
+        f"cuckoo table failed to place {len(pending)} n-grams after 16 "
         f"growth rounds (size {size}) — pathological key clustering; "
-        f"change HASH_P1/HASH_P2 seeds")
+        f"change HASH_P1/HASH_P2/HASH_MIX2 seeds")
 
 
-def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
+def build_hash_fusion_tables(lm, tokenizer, vocab_size,
                              max_entries=600_000_000):
     """PRODUCTION-SCALE trie fusion: hash-table ARPA scoring.
 
@@ -823,17 +844,18 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
     - every beam carries its last (order-1) ARPA word ids (a context
       WINDOW, left-padded with HASH_PAD_ID) instead of a dense state id;
     - score_word = the exact Katz backoff recursion of
-      ArpaLanguageModel._cond_score, evaluated on device with fixed-depth
-      probes of an open-addressing hash table over ALL n-grams
+      ArpaLanguageModel._cond_score, evaluated on device with two-row
+      cuckoo probes of a hash table over ALL n-grams
       (ops/beam_search._hash_lm_scores);
     - complete(h, p) degenerates to shift-append — the dense path's
       next_w lookup disappears.
 
-    Memory is linear in the ARPA (2 i32 + 2 f32 per slot at load 0.5) and
+    Memory is linear in the ARPA (2 i32 + 2 f32 per slot at load 0.45) and
     in the trie ((P, V) pnext/wq), so 100k+-word LMs fit easily.
 
     Returns a dict (or None when the tokenizer can't be modeled):
-        keys (N+D, 2) i32, vals (N+D, 2) f32, table_size, probe_depth
+        keys (N, 2) i32, vals (N, 2) f32, table_size, probe_depth (= 2,
+            the two cuckoo choices — kept for the lm_hash_meta plumbing)
         order, ctx_len (= order-1), start_ctx (ctx_len,) i32
         unk_prob float  — unigram fallback (logprob of <unk>, or -10)
         pnext/wq (P, V) i32, tok_kind/qwid (V,) i32   — trie front
@@ -891,7 +913,7 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
                                        frags, vocab_size)
     pnext, wq = derive_fused_trie_advance(ptrans, wid, tok_kind)
 
-    keys, vals, size = _arpa_hash_table(model, word_index, probe_depth)
+    keys, vals, size = _arpa_hash_table(model, word_index)
 
     m = max(model.order - 1, 1)
     start_ctx = np.full((m,), HASH_PAD_ID, np.int32)
@@ -902,7 +924,7 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size, probe_depth=8,
         "keys": keys,
         "vals": vals,
         "table_size": int(size),
-        "probe_depth": int(probe_depth),
+        "probe_depth": 2,
         "order": int(model.order),
         "ctx_len": int(m),
         "start_ctx": start_ctx,

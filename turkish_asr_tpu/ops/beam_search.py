@@ -189,23 +189,29 @@ def _hash_roll(ids, p, m):
 
 
 def _hash_probe(ht, h1, h2):
-    """Fixed-depth open-addressing probe. Returns (found, prob, bo), each
-    shaped like h1. Keys are compared as int32 — no f32 round-trip.
+    """Two-choice cuckoo probe: every entry sits at slot1 = (h1·P1 mod
+    2^32) % size or slot2 = (h2·HASH_MIX2 mod 2^32) % size (decode/lm.
+    _arpa_hash_table places them; must match bit-for-bit, uint32 wrap).
+    Returns (found, prob, bo), each shaped like h1. Keys are compared as
+    int32 — no f32 round-trip.
 
-    The SLOT mixes h1 by one extra multiply: raw rolling hashes of
-    n-grams sharing a prefix are CONSECUTIVE integers (unigrams are
-    id+1; bigrams with a common first word differ only by the last id),
-    so h1 % size forms dense runs under which linear probing livelocks —
-    every entry hashing into a run loses all D probes at any table size.
-    Must match decode/lm._arpa_hash_table bit-for-bit (uint32 wrap).
+    Exactly 2 gathered rows per probe point: the gather is ~linear in
+    fetched rows on v5e (scripts/ab_hash_probe_cost.py — the former
+    depth-8 linear-probe chain cost 474 vs 178 ms/iter at depth 2 on the
+    100k-ARPA config-4 bench), so the row count IS the probe cost. The
+    slot mixes also de-cluster prefix-sharing n-grams whose raw rolling
+    hashes are CONSECUTIVE integers (unigrams are id+1).
 
     Reads ride ONE fused (N, 4) slab [h1 h2 prob bo] (prob/bo bitcast to
-    i32; built once per search in ctc_beam_search) so each probe point is
-    a single contiguous D*16-byte fetch instead of two random streams."""
+    i32; built once per search in ctc_beam_search) so each probe row is
+    a single contiguous 16-byte fetch instead of two random streams."""
+    from turkish_asr_tpu.decode.lm import HASH_MIX2
     hp1 = _hash_params()[0]
-    mixed = h1.astype(jnp.uint32) * jnp.uint32(hp1)  # wraps mod 2^32
-    base = (mixed % jnp.uint32(ht["table_size"])).astype(jnp.int32)
-    idx = base[..., None] + jnp.arange(ht["probe_depth"])   # (..., D)
+    size = jnp.uint32(ht["table_size"])
+    m1 = h1.astype(jnp.uint32) * jnp.uint32(hp1)     # wraps mod 2^32
+    m2 = h2.astype(jnp.uint32) * jnp.uint32(HASH_MIX2)
+    idx = jnp.stack([(m1 % size).astype(jnp.int32),
+                     (m2 % size).astype(jnp.int32)], axis=-1)  # (..., 2)
     slab = ht.get("slab")
     if slab is None:  # direct-call convenience (tests): fuse on the fly
         slab = jnp.concatenate(
