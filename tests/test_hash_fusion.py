@@ -205,3 +205,51 @@ def test_short_context_left_padding_misses_table(model, tok, ht):
         dev, jnp.asarray(win),
         jnp.asarray([widx["bir"]], np.int32)))[0, 0])
     assert abs(got - model._cond_score((), "bir")) < 1e-4
+
+
+def test_cuckoo_table_places_every_entry_and_grows():
+    """_arpa_hash_table direct: every n-gram must be findable at one of
+    its two cuckoo slots (the device probe's whole contract), including
+    when the initial size is tiny enough to force growth rounds."""
+    from turkish_asr_tpu.decode.lm import (
+        HASH_M1, HASH_M2, HASH_MIX2, HASH_P1, HASH_P2, _arpa_hash_table,
+        _roll_hash_np)
+
+    rng = np.random.default_rng(3)
+
+    class FakeModel:
+        # ~500 synthetic n-grams over a 60-word vocab, incl. dense
+        # prefix-sharing runs (the historical linear-probe livelock case).
+        logprob = {}
+        backoff = {}
+
+    words = [f"w{i}" for i in range(60)]
+    for w in words:
+        FakeModel.logprob[(w,)] = -float(rng.uniform(0.5, 3.0))
+    for a in words[:20]:           # shared-prefix bigram runs
+        for b in words:
+            if rng.random() < 0.35:
+                FakeModel.logprob[(a, b)] = -float(rng.uniform(0.5, 3.0))
+                FakeModel.backoff[(a, b)] = -float(rng.uniform(0.0, 0.5))
+    widx = {w: i for i, w in enumerate(words)}
+
+    # load_factor > 0.5 exceeds the two-choice threshold -> must grow,
+    # not fail
+    keys, vals, size = _arpa_hash_table(FakeModel, widx, load_factor=0.9)
+    n = len(FakeModel.logprob)
+    assert (keys[:, 0] >= 0).sum() == n
+
+    for ng, lp in FakeModel.logprob.items():
+        ids = np.array([[widx[w] for w in ng]], np.uint32)
+        h1 = int(_roll_hash_np(ids, HASH_P1, HASH_M1)[0])
+        h2 = int(_roll_hash_np(ids, HASH_P2, HASH_M2)[0])
+        p1 = ((h1 * HASH_P1) & 0xFFFFFFFF) % size
+        p2 = ((h2 * HASH_MIX2) & 0xFFFFFFFF) % size
+        at1 = keys[p1, 0] == h1 and keys[p1, 1] == h2
+        at2 = keys[p2, 0] == h1 and keys[p2, 1] == h2
+        assert at1 or at2, ng
+        got = vals[p1, 0] if at1 else vals[p2, 0]
+        assert abs(got - lp) < 1e-5
+        bo = FakeModel.backoff.get(ng, 0.0)
+        gbo = vals[p1, 1] if at1 else vals[p2, 1]
+        assert abs(gbo - bo) < 1e-5

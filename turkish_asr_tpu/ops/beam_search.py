@@ -247,6 +247,10 @@ def _hash_lm_scores(ht, ctx, wids):
     W = ctx.shape[0]
     m = ctx.shape[1]
     K = wids.shape[0]
+    # One probe call per point set (1 + 2m per step). Folding them all
+    # into a single concatenated gather was MEASURED SLOWER (110.6 vs
+    # 98.1 ms/iter on the 100k config-4 bench) — the (K + m(W+WK),)
+    # concats cost more than the per-op overhead they save. Don't re-fuse.
     # j = 0: unigram (w,) — shared across beams.
     u1 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp1, hm1)
     u2 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp2, hm2)
