@@ -478,7 +478,8 @@ def bench_longform_conformer_l():
           mfu=round(flops / sec_on / peak, 4) if peak else None)
 
 
-def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10):
+def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10,
+                   cfg=None, seconds=None, attn_kernel=None):
     import jax
     import jax.numpy as jnp
     from turkish_asr_tpu.models.conformer import init_model
@@ -489,7 +490,8 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10):
     from turkish_asr_tpu.parallel.mesh import make_mesh, shard_batch
     from __graft_entry__ import _flagship_cfg
 
-    cfg = _flagship_cfg()
+    seconds = SECONDS if seconds is None else seconds
+    cfg = _flagship_cfg() if cfg is None else cfg
     params, model_state = init_model(jax.random.PRNGKey(0), cfg)
     tx, schedule = make_optimizer(5e-4, 1e-6, total_steps=1000,
                                   accumulation_steps=accumulation_steps)
@@ -499,9 +501,10 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10):
         optimizer=tx, schedule=schedule, config=get_config([]),
         logger=get_logger("bench", log_file="/tmp/bench_train.log"),
         mesh=mesh, accumulation_steps=accumulation_steps,
-        compute_dtype=jnp.bfloat16, augment=augment)
+        compute_dtype=jnp.bfloat16, augment=augment,
+        attn_kernel=attn_kernel)
 
-    S = int(SECONDS * SR)
+    S = int(seconds * SR)
     rng = np.random.default_rng(0)
     batch = shard_batch(mesh, {
         "waveforms": (rng.standard_normal((batch_size, S)) * 0.1)
@@ -576,6 +579,34 @@ def bench_train_aug():
           accumulation_steps=4,
           audio_sec_per_sec=round(32 * SECONDS / sec, 2),
           mfu=_train_mfu(32, sec))
+
+
+def bench_train_conformer_l():
+    """Long-form Conformer-L TRAINING step (d=512, 16 blocks, T'=1600):
+    the workload where the Pallas flash-attention kernel — now usable in
+    training via in-kernel attention-weight dropout — pays off (VERDICT
+    r3 #2). The trainer engages it automatically at T' >= 512; the
+    kernel-off number quantifies what the einsum probs tensor costs."""
+    import jax.numpy as jnp
+    from turkish_asr_tpu.ops.flash_attention import make_flash_attention
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg(d_model=512, n_heads=8, n_blocks=16)
+    B, seconds = 4, 64.0
+    sec_on, _ = _train_step_ms(B, augment=True, accumulation_steps=1,
+                               n_steps=6, cfg=cfg, seconds=seconds,
+                               attn_kernel=make_flash_attention())
+    sec_off, _ = _train_step_ms(B, augment=True, accumulation_steps=1,
+                                n_steps=6, cfg=cfg, seconds=seconds,
+                                attn_kernel=None)
+    peak, _ = _peak_flops()
+    flops = 3 * model_forward_flops(cfg, seconds) * B
+    _emit("train_step_ms_conformer_l", sec_on * 1e3, "ms/step",
+          batch=B, audio_seconds=seconds,
+          audio_sec_per_sec=round(B * seconds / sec_on, 2),
+          kernel_off_ms=round(sec_off * 1e3, 2),
+          flash_kernel_speedup=round(sec_off / sec_on, 3),
+          mfu=round(flops / sec_on / peak, 4) if peak else None)
 
 
 def bench_torch_baseline():
@@ -670,7 +701,7 @@ def main():
     rtfx, mfu, kind = bench_greedy_headline()
     for fn in (bench_greedy_single, bench_train_small, bench_train_aug,
                bench_beam_arpa, bench_beam_arpa_100k,
-               bench_longform_conformer_l):
+               bench_longform_conformer_l, bench_train_conformer_l):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — one config must not kill the run
