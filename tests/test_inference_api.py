@@ -257,3 +257,54 @@ def test_beam_transcribe_files_batched_with_error_capture(wav_dir, tmp_path):
     assert texts[-1] == ""
     per_file = [asr.transcribe(p) for p in wav_dir]
     assert texts[:-1] == per_file
+
+
+def test_lm_fusion_hash_end_to_end(wav_dir, tmp_path):
+    """--lm_fusion hash through the full ASRInference engine: the hash
+    decoder is selected, transcription runs, and transcripts match the
+    auto-selected trie fusion on the same checkpoint + ARPA (both are
+    host-beam-parity-tested, so they must agree end to end)."""
+    from inference import ASRInference
+    from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
+
+    arpa = str(tmp_path / "words.arpa")
+    with open(arpa, "w") as f:
+        f.write("""\\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\t<unk>\t-0.30
+-0.8\t<s>\t-0.40
+-0.9\t</s>
+-0.5\tbir\t-0.20
+-0.6\tiki
+
+\\2-grams:
+-0.2\t<s> bir\t-0.10
+-0.3\tbir iki
+-0.4\tiki bir
+
+\\end\\
+""")
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint_file(path, {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}, params, state)
+
+    kw = dict(compute_dtype=jnp.float32, use_beam_search=True,
+              beam_width=4, lm_path=arpa, data_parallel=False)
+    asr_hash = ASRInference(path, lm_fusion="hash", **kw)
+    assert isinstance(asr_hash.decoder, DeviceBeamDecoder)
+    assert asr_hash.decoder.lm_hash is not None
+    asr_trie = ASRInference(path, lm_fusion="auto", **kw)
+    assert asr_trie.decoder.lm_trie is not None
+
+    got_hash = asr_hash.transcribe_files(wav_dir, batch_size=4)
+    got_trie = asr_trie.transcribe_files(wav_dir, batch_size=4)
+    assert got_hash == got_trie
