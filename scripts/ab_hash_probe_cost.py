@@ -1,4 +1,13 @@
-"""Split the hash-fusion score-probe cost: slab GATHER vs hash MATH.
+"""HISTORICAL RECORD — measured against the PRE-CUCKOO depth-8 linear
+probe; its findings motivated the shipped two-choice cuckoo table. Do
+not re-run for fresh numbers: the shipped _hash_probe now ignores
+probe_depth (always gathers exactly 2 rows), so the "base" and "depth2"
+arms compile the identical program, and "nogather" reconstructs the old
+linear-probe slot math that no longer matches the cuckoo layout. The
+numbers below stand as the evidence for "the gather is linear in
+fetched rows" (AGENTS.md).
+
+Split the hash-fusion score-probe cost: slab GATHER vs hash MATH.
 
 ab_hash_fusion attributed ~418 of 474 ms/iter (100k ARPA, config-4
 shapes) to _hash_lm_scores. This separates its parts by monkeypatching

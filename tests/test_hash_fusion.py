@@ -253,3 +253,84 @@ def test_cuckoo_table_places_every_entry_and_grows():
         bo = FakeModel.backoff.get(ng, 0.0)
         gbo = vals[p1, 1] if at1 else vals[p2, 1]
         assert abs(gbo - bo) < 1e-5
+
+
+def test_probe_coinciding_cuckoo_slots_counts_once():
+    """When an entry's two cuckoo slots COINCIDE (slot1 == slot2, odds
+    ~1/size per entry — expected in 1 of ~2 production tables), the probe
+    gathers the same row twice; the duplicate hit must be masked or the
+    summed prob/backoff silently doubles (regression: probe returned -1.0
+    for a stored logprob of -0.5)."""
+    import jax.numpy as jnp
+    from turkish_asr_tpu.decode.lm import HASH_MIX2, HASH_P1
+    from turkish_asr_tpu.ops.beam_search import _hash_probe
+
+    size = 64
+    hit = None
+    for h1 in range(1, 20000):
+        s1 = ((h1 * HASH_P1) & 0xFFFFFFFF) % size
+        for h2 in range(1, 400):
+            if ((h2 * HASH_MIX2) & 0xFFFFFFFF) % size == s1:
+                hit = (h1, h2, s1)
+                break
+        if hit:
+            break
+    assert hit is not None
+    h1, h2, slot = hit
+    keys = np.full((size, 2), -1, np.int32)
+    vals = np.zeros((size, 2), np.float32)
+    keys[slot] = [h1, h2]
+    vals[slot] = [-0.5, -0.25]
+    ht = {"keys": keys, "vals": vals, "table_size": size}
+    f, p, b = _hash_probe(ht, jnp.asarray([h1], jnp.int32),
+                          jnp.asarray([h2], jnp.int32))
+    assert bool(np.asarray(f)[0])
+    assert abs(float(np.asarray(p)[0]) - (-0.5)) < 1e-6
+    assert abs(float(np.asarray(b)[0]) - (-0.25)) < 1e-6
+
+
+def test_builder_skips_ngrams_without_unigram_entry(tok):
+    """Hand-pruned ARPA files may contain higher-order n-grams whose words
+    have no unigram entry. Those entries are unreachable in the host
+    oracle (_cond_score maps every word to <unk> before lookup), so the
+    hash builder must skip them — not crash with KeyError — and the device
+    scores must still match _cond_score everywhere."""
+    import tempfile
+
+    import jax.numpy as jnp
+    from turkish_asr_tpu.ops import beam_search as bs
+
+    pruned = ARPA.replace(
+        "\\2-grams:", "\\2-grams:\n-0.35\tghost ev", 1).replace(
+        "ngram 2=8", "ngram 2=9", 1)
+    with tempfile.NamedTemporaryFile("w", suffix=".arpa",
+                                     delete=False) as f:
+        f.write(pruned)
+        path = f.name
+    model = ArpaLanguageModel(path)
+    assert ("ghost", "ev") in model.logprob  # the file really has it
+    ht = build_hash_fusion_tables(model, tok, tok.vocab_size)  # no crash
+    assert ht is not None
+
+    uni = sorted(model._vocab)
+    if "<unk>" not in model._vocab:
+        uni.append("<unk>")
+    widx = {w: i for i, w in enumerate(uni)}
+    m = ht["ctx_len"]
+    dev = {"keys": jnp.asarray(ht["keys"]),
+           "vals": jnp.asarray(ht["vals"]),
+           "unk_prob": jnp.asarray(ht["unk_prob"], jnp.float32),
+           "table_size": ht["table_size"],
+           "probe_depth": ht["probe_depth"]}
+    # "ghost" is OOV -> <unk> in both stacks; "ev" after it must score
+    # identically (and every other pair stays in parity).
+    for ctx_words, w in [(("ghost",), "ev"), ((), "ev"), (("bir",), "iki"),
+                         (("iki", "bin"), "o")]:
+        want = model._cond_score(tuple(ctx_words), w)
+        win = np.full((1, m), HASH_PAD_ID, np.int32)
+        for j, cw in enumerate(ctx_words):
+            wid = widx.get(cw, widx["<unk>"])
+            win[0, m - len(ctx_words) + j] = wid
+        got = float(np.asarray(bs._hash_lm_scores(
+            dev, jnp.asarray(win), jnp.asarray([widx[w]], np.int32)))[0, 0])
+        assert abs(got - want) < 1e-4, (ctx_words, w, got, want)

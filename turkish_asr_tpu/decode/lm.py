@@ -11,6 +11,7 @@ Reference counterparts (/root/reference/utils/decoding.py:23-125):
   semantics (order 3, -10.0 unknown penalty, <s>/</s> padding).
 """
 
+import logging
 import math
 from collections import defaultdict
 
@@ -761,8 +762,22 @@ def _arpa_hash_table(model, word_index, load_factor=0.45):
     import numpy as np
 
     by_len = {}
+    skipped = 0
     for ng, lp in model.logprob.items():
+        # N-grams containing a word with NO unigram entry (hand-pruned /
+        # non-lmplz ARPA files) are unreachable in the host oracle —
+        # _cond_score maps every query/context word to <unk> BEFORE the
+        # logprob lookup, so the raw entry is never consulted. Skip them
+        # (substituting <unk> ids would create duplicate keys with
+        # genuine <unk> n-grams) instead of crashing on word_index.
+        if any(w not in word_index for w in ng):
+            skipped += 1
+            continue
         by_len.setdefault(len(ng), []).append(ng)
+    if skipped:
+        logging.getLogger(__name__).warning(
+            "hash fusion: skipped %d n-grams containing words with no "
+            "unigram entry (unreachable under <unk> mapping)", skipped)
     h1_parts, h2_parts, prob_parts, bo_parts = [], [], [], []
     for n, ngrams in sorted(by_len.items()):
         ids = np.array([[word_index[w] for w in ng] for ng in ngrams],

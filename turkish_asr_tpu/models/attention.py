@@ -147,21 +147,22 @@ def mqa_attention(
             context = kernel(q.astype(compute_dtype),
                              k.astype(compute_dtype),
                              v.astype(compute_dtype), mask)
-        elif rng is not None:
+        elif rng is not None and getattr(kernel, "supports_dropout", False):
             # Training with attention-weight dropout: the Pallas kernel
             # generates the keep mask in-kernel from the TPU PRNG
             # (regenerated, never stored — see ops/_flash_attention_impl).
             # Statistically equivalent to the einsum path's bernoulli
-            # mask, different realization. Kernels without dropout
-            # support (tests pass plain callables) raise TypeError and
-            # fall through to the einsum path.
-            try:
-                context = kernel(q.astype(compute_dtype),
-                                 k.astype(compute_dtype),
-                                 v.astype(compute_dtype), mask,
-                                 dropout=dropout, rng=rng)
-            except TypeError:
-                context = None
+            # mask, different realization. Capability is declared by the
+            # `supports_dropout` attribute (make_flash_attention sets it);
+            # kernels without it — tests pass plain (q, k, v, mask)
+            # callables — take the einsum path. Attribute detection, not
+            # try/except TypeError: tracing errors inside a kernel also
+            # raise TypeError and must propagate, not silently divert
+            # every training step to einsum.
+            context = kernel(q.astype(compute_dtype),
+                             k.astype(compute_dtype),
+                             v.astype(compute_dtype), mask,
+                             dropout=dropout, rng=rng)
     if context is None:
         scale = 1.0 / math.sqrt(d_head)
         # Broadcast the shared KV head instead of expanding it.

@@ -220,7 +220,12 @@ def _hash_probe(ht, h1, h2):
                  jnp.asarray(ht["vals"], jnp.float32), jnp.int32)], axis=1)
     rows = slab[idx]                                 # (..., D, 4) i32
     hit = (rows[..., 0] == h1[..., None]) & (rows[..., 1] == h2[..., None])
-    hitf = hit.astype(jnp.float32)                   # at most one hit
+    # When an entry's two cuckoo slots COINCIDE (slot1 == slot2, ~1/size
+    # odds per entry — expected ~0.5 entries per production table), both
+    # gathered rows are the same slot and would hit twice, doubling the
+    # summed prob/backoff. Mask the duplicate so at most one hit counts.
+    hit = hit.at[..., 1].set(hit[..., 1] & (idx[..., 1] != idx[..., 0]))
+    hitf = hit.astype(jnp.float32)                   # at most one hit now
     found = jnp.any(hit, axis=-1)
     pv = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
     bv = jax.lax.bitcast_convert_type(rows[..., 3], jnp.float32)
@@ -377,7 +382,10 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
             lm_all = _hash_lm_scores(lm_hash, lm_ctx, uq)           # (W, K2)
             col = _vec_lookup(lm_hash["qcol"], top_tok).astype(jnp.int32)
             oh = jax.nn.one_hot(col, K2, dtype=jnp.float32)         # (K, K2)
-            lm = jnp.dot(lm_all, oh.T, precision=_LOOKUP_PRECISION)  # (W, K)
+            # 'highest' keeps the column pick EXACT (1.0 decomposes into
+            # a single bf16 piece), so the dedup branch is bit-identical
+            # to per-candidate probing — not merely close.
+            lm = jnp.dot(lm_all, oh.T, precision="highest")          # (W, K)
         else:
             q = _vec_lookup(lm_hash["qwid"], top_tok).astype(jnp.int32)
             lm = _hash_lm_scores(lm_hash, lm_ctx, q)                # (W, K)

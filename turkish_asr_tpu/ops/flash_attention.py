@@ -74,4 +74,10 @@ def make_flash_attention(block_q=None, min_seq_len=MIN_KERNEL_SEQ_LEN):
         return flash_attention(q, k, v, mask, block_q=bq,
                                dropout_rate=rate, seed=seed)
 
+    # Capability flag read by models/attention.py: kernels WITHOUT it
+    # (legacy/test callables with a (q, k, v, mask)-only signature) are
+    # never offered dropout. Feature detection by attribute, not by
+    # catching TypeError — tracing errors inside the kernel also raise
+    # TypeError and must propagate, not silently divert to einsum.
+    kernel.supports_dropout = True
     return kernel
