@@ -172,9 +172,7 @@ def _make_pipeline(cfg, attn_kernel, decode="greedy",
                 kw = {"lm_hash": {k: lm_hash[k] for k in
                                   ("keys", "vals", "pnext", "wq",
                                    "tok_kind", "qwid", "start_ctx",
-                                   "unk_prob", "uniq_q", "qcol")},
-                      "lm_hash_meta": (int(lm_hash["table_size"]),
-                                       int(lm_hash["probe_depth"]))}
+                                   "unk_prob", "uniq_q", "qcol")}}
             ids, counts = ctc_beam_search(
                 lp, out_lengths, beam_width=beam_width, blank_id=0,
                 max_prefix_len=min(lp.shape[1], 512), **kw)
@@ -419,7 +417,6 @@ def bench_beam_arpa_100k():
     ht_arr = {k: jnp.asarray(ht[k]) for k in
               ("keys", "vals", "pnext", "wq", "tok_kind", "qwid",
                "start_ctx", "unk_prob", "uniq_q", "qcol")}
-    meta = (int(ht["table_size"]), int(ht["probe_depth"]))
 
     import jax
     from turkish_asr_tpu.models.conformer import apply_model
@@ -438,7 +435,7 @@ def bench_beam_arpa_100k():
         return ctc_beam_search(lp, frame_lengths // 4, beam_width=16,
                                blank_id=0,
                                max_prefix_len=min(lp.shape[1], 512),
-                               lm_hash=tables, lm_hash_meta=meta)
+                               lm_hash=tables)
 
     sec = _chained_timer(pipeline, (params, state, ht_arr), w, n, 4)
     rtfx = BATCH * SECONDS / sec

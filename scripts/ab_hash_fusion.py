@@ -45,11 +45,10 @@ def build(arpa_path, n_classes):
     arr = {k: jnp.asarray(ht[k]) for k in
            ("keys", "vals", "pnext", "wq", "tok_kind", "qwid",
             "start_ctx", "unk_prob", "uniq_q", "qcol")}
-    meta = (int(ht["table_size"]), int(ht["probe_depth"]))
-    return arr, meta, ht
+    return arr, ht
 
 
-def run(cfg, params, state, arr, meta, label):
+def run(cfg, params, state, arr, label):
     attn_kernel = make_flash_attention()
 
     def pipeline(pstate, waveforms, wav_lengths):
@@ -63,7 +62,7 @@ def run(cfg, params, state, arr, meta, label):
         return ctc_beam_search(lp, frame_lengths // 4, beam_width=16,
                                blank_id=0,
                                max_prefix_len=min(lp.shape[1], 512),
-                               lm_hash=tables, lm_hash_meta=meta)
+                               lm_hash=tables)
 
     w, n = _waves(BATCH, SECONDS)
     sec = _chained_timer(pipeline, (params, state, arr), w, n, 4)
@@ -78,7 +77,7 @@ def main():
 
     small_arpa = "/tmp/bench_words.arpa"
     _synthetic_word_arpa(small_arpa)
-    arr_s, meta_s, _ = build(small_arpa, cfg.n_classes)
+    arr_s, _ = build(small_arpa, cfg.n_classes)
 
     big_arpa = "/tmp/bench_100k.arpa"
     import os
@@ -87,11 +86,11 @@ def main():
                              ngram_counts={2: 500_000, 3: 300_000,
                                            4: 150_000})
     t0 = time.perf_counter()
-    arr_b, meta_b, _ = build(big_arpa, cfg.n_classes)
+    arr_b, _ = build(big_arpa, cfg.n_classes)
     print(f"100k build {time.perf_counter() - t0:.1f} s", flush=True)
 
-    run(cfg, params, state, arr_s, meta_s, "small")
-    run(cfg, params, state, arr_b, meta_b, "100k")
+    run(cfg, params, state, arr_s, "small")
+    run(cfg, params, state, arr_b, "100k")
 
     # ctc_beam_search is @jax.jit — same shapes+statics would replay the
     # compiled executable and silently ignore the monkeypatch.
@@ -100,7 +99,7 @@ def main():
         jax.clear_caches()
         bs._hash_lm_scores = lambda ht, ctx, wids: jnp.zeros(
             (ctx.shape[0], wids.shape[0]), jnp.float32)
-        run(cfg, params, state, arr_b, meta_b, "100k-ns")
+        run(cfg, params, state, arr_b, "100k-ns")
     finally:
         bs._hash_lm_scores = orig_scores
 
@@ -109,7 +108,7 @@ def main():
         jax.clear_caches()
         bs._cell_lookup_pair_dual = lambda t2, r, c, n_cols: (
             jnp.zeros(r.shape, jnp.float32), jnp.zeros(r.shape, jnp.float32))
-        run(cfg, params, state, arr_b, meta_b, "100k-na")
+        run(cfg, params, state, arr_b, "100k-na")
     finally:
         bs._cell_lookup_pair_dual = orig_pair
         jax.clear_caches()

@@ -57,8 +57,8 @@ class DeviceBeamDecoder:
         else:
             self.lm_trie = None
         # Production-scale hash fusion (100k+-word ARPAs) — see
-        # decode/lm.build_hash_fusion_tables. Shape-defining ints ride
-        # separately (static jit args).
+        # decode/lm.build_hash_fusion_tables. The table size is the keys
+        # array's static shape — no separate meta ints to mis-pair.
         if lm_hash is not None:
             self.lm_hash = {k: jnp.asarray(lm_hash[k]) for k in
                             ("keys", "vals", "pnext", "wq", "tok_kind",
@@ -66,8 +66,6 @@ class DeviceBeamDecoder:
                             if k in lm_hash}
             self.lm_hash["unk_prob"] = jnp.asarray(
                 lm_hash["unk_prob"], jnp.float32)
-            self.lm_hash_meta = (int(lm_hash["table_size"]),
-                                 int(lm_hash["probe_depth"]))
         else:
             self.lm_hash = None
         # Reference CTCBeamDecoder applies a final per-word insertion
@@ -101,7 +99,6 @@ class DeviceBeamDecoder:
                       "lm_weight": self.lm_weight}
         elif self.lm_hash is not None:
             kwargs = {"lm_hash": self.lm_hash,
-                      "lm_hash_meta": self.lm_hash_meta,
                       "lm_weight": self.lm_weight}
         elif self.lm_bias is not None:
             kwargs = {"lm_bias": self.lm_bias,

@@ -870,7 +870,9 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size,
 
     Returns a dict (or None when the tokenizer can't be modeled):
         keys (N, 2) i32, vals (N, 2) f32, table_size, probe_depth (= 2,
-            the two cuckoo choices — kept for the lm_hash_meta plumbing)
+            the two cuckoo choices — informational; the device probe
+            derives the size from keys' static shape and always gathers
+            exactly 2 rows)
         order, ctx_len (= order-1), start_ctx (ctx_len,) i32
         unk_prob float  — unigram fallback (logprob of <unk>, or -10)
         pnext/wq (P, V) i32, tok_kind/qwid (V,) i32   — trie front

@@ -207,17 +207,19 @@ def _hash_probe(ht, h1, h2):
     a single contiguous 16-byte fetch instead of two random streams."""
     from turkish_asr_tpu.decode.lm import HASH_MIX2
     hp1 = _hash_params()[0]
-    size = jnp.uint32(ht["table_size"])
-    m1 = h1.astype(jnp.uint32) * jnp.uint32(hp1)     # wraps mod 2^32
-    m2 = h2.astype(jnp.uint32) * jnp.uint32(HASH_MIX2)
-    idx = jnp.stack([(m1 % size).astype(jnp.int32),
-                     (m2 % size).astype(jnp.int32)], axis=-1)  # (..., 2)
     slab = ht.get("slab")
     if slab is None:  # direct-call convenience (tests): fuse on the fly
         slab = jnp.concatenate(
             [jnp.asarray(ht["keys"], jnp.int32),
              jax.lax.bitcast_convert_type(
                  jnp.asarray(ht["vals"], jnp.float32), jnp.int32)], axis=1)
+    # Table size is the slab's STATIC leading dim — no separately-plumbed
+    # meta int that could be mis-paired with a differently-sized table.
+    size = jnp.uint32(slab.shape[0])
+    m1 = h1.astype(jnp.uint32) * jnp.uint32(hp1)     # wraps mod 2^32
+    m2 = h2.astype(jnp.uint32) * jnp.uint32(HASH_MIX2)
+    idx = jnp.stack([(m1 % size).astype(jnp.int32),
+                     (m2 % size).astype(jnp.int32)], axis=-1)  # (..., 2)
     rows = slab[idx]                                 # (..., D, 4) i32
     hit = (rows[..., 0] == h1[..., None]) & (rows[..., 1] == h2[..., None])
     # When an entry's two cuckoo slots COINCIDE (slot1 == slot2, ~1/size
@@ -657,12 +659,11 @@ def _beam_search_single(logp, length, beam_width, blank_id, max_prefix_len,
 
 @partial(jax.jit, static_argnames=("beam_width", "blank_id", "max_prefix_len",
                                    "lm_weight", "lm_start_state",
-                                   "lm_hash_meta", "return_all_beams"))
+                                   "return_all_beams"))
 def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
                     max_prefix_len=None, lm_bias=None, lm_weight=0.3,
                     lm_tables=None, lm_trie=None, lm_hash=None,
-                    lm_hash_meta=None, lm_start_state=0,
-                    return_all_beams=False):
+                    lm_start_state=0, return_all_beams=False):
     """Batched on-device CTC prefix beam search.
 
     Args:
@@ -686,9 +687,7 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             PRODUCTION-SCALE trie fusion (100k+-word ARPAs): same
             semantics as lm_trie, with hash-probed n-gram scoring and
             (W, order-1) word-id context windows per beam. Array fields
-            only; the static ints ride ``lm_hash_meta``.
-        lm_hash_meta: static (table_size, probe_depth) for ``lm_hash``
-            (shape-defining, so they must not be traced).
+            only (the table size is the keys array's static shape).
         return_all_beams: when True, return every beam instead of the
             argmax — (ids (B, W, Lmax), counts (B, W), scores (B, W)) —
             so callers can apply the reference's final word-count bonus.
@@ -737,9 +736,6 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
                              lm_start_state=lm_start_state))(
             log_probs, lengths)
     elif lm_hash is not None:
-        if lm_hash_meta is None:
-            raise ValueError("lm_hash requires lm_hash_meta="
-                             "(table_size, probe_depth)")
         ht = {
             # Fused probe slab [h1 h2 prob bo] — one contiguous fetch per
             # probe point (_hash_probe) instead of two random streams.
@@ -755,9 +751,6 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
             "qwid": jnp.asarray(lm_hash["qwid"], jnp.int32),
             "start_ctx": jnp.asarray(lm_hash["start_ctx"], jnp.int32),
             "unk_prob": jnp.asarray(lm_hash["unk_prob"], jnp.float32),
-            # Shape-defining: stay Python ints through the closure.
-            "table_size": int(lm_hash_meta[0]),
-            "probe_depth": int(lm_hash_meta[1]),
         }
         if "uniq_q" in lm_hash:  # probe-dedup (builders emit since r4)
             ht["uniq_q"] = jnp.asarray(lm_hash["uniq_q"], jnp.int32)
