@@ -258,3 +258,34 @@ def test_transcribe_upload_timestamps(service, wav_file):
     # default response keeps the reference payload shape (no segments key)
     status, payload = service.transcribe_upload("a.wav", content)
     assert status == 200 and "segments" not in payload
+
+
+def test_lm_fused_beam_serving(tiny_ckpt, wav_file, monkeypatch):
+    """ASR_LM_PATH + ASR_LM_FUSION plumb the CLI's --lm/--lm_fusion
+    surface into the served beam: the service must come up with an
+    on-device LM-fused decoder and serve uploads with it."""
+    from test_hash_fusion import ARPA
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".arpa",
+                                     delete=False) as f:
+        f.write(ARPA)
+        arpa_path = f.name
+    monkeypatch.setenv("ASR_MODEL_PATH", tiny_ckpt)
+    monkeypatch.setenv("USE_BEAM_SEARCH", "true")
+    monkeypatch.setenv("BEAM_WIDTH", "4")
+    monkeypatch.setenv("ASR_LM_PATH", arpa_path)
+    monkeypatch.setenv("ASR_LM_FUSION", "device")
+    monkeypatch.delenv("ASR_BATCH_WINDOW_MS", raising=False)
+    svc = ASRService(ServerConfig(), warmup=False)
+    assert svc.asr is not None
+
+    from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
+    assert isinstance(svc.asr.decoder, DeviceBeamDecoder)
+    assert (svc.asr.decoder.lm_trie is not None
+            or svc.asr.decoder.lm_tables is not None)
+
+    with open(wav_file, "rb") as f:
+        status, payload = svc.transcribe_upload("a.wav", f.read())
+    assert status == 200
+    assert payload["text"] == svc.asr.transcribe(wav_file)

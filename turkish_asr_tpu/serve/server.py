@@ -15,7 +15,10 @@ dummy transcription so the first request doesn't pay XLA compile time.
 
 Additive: ASR_BATCH_WINDOW_MS > 0 enables cross-request micro-batching
 (MicroBatcher) — concurrent /transcribe requests share bucket-collated
-batched forwards; ASR_MAX_BATCH caps the batch.
+batched forwards; ASR_MAX_BATCH caps the batch. ASR_LM_PATH points the
+served beam at an ARPA LM (ASR_LM_FUSION = auto/device/hash/host, the
+CLI's --lm_fusion surface) — on-device fusion makes LM-fused serving
+practical (thousands of times real time even with 100k-word LMs).
 """
 
 import io
@@ -105,6 +108,12 @@ class ServerConfig:
         self.N_BLOCKS = int(os.environ.get("N_BLOCKS", "8"))
         self.USE_BEAM_SEARCH = os.environ.get("USE_BEAM_SEARCH", "false").lower() == "true"
         self.BEAM_WIDTH = int(os.environ.get("BEAM_WIDTH", "10"))
+        # Additive: ARPA LM shallow fusion in the served beam (same
+        # lm_path/lm_fusion surface as the inference CLI's --lm /
+        # --lm_fusion; on-device fusion keeps batched beam decoding
+        # thousands of times real time, so LM-fused serving is practical).
+        self.LM_PATH = os.environ.get("ASR_LM_PATH") or None
+        self.LM_FUSION = os.environ.get("ASR_LM_FUSION", "auto")
         self.TOKENIZER_PATH = os.environ.get("ASR_TOKENIZER_PATH") or None
         self.HOST = os.environ.get("ASR_HOST", "0.0.0.0")
         self.PORT = int(os.environ.get("ASR_PORT", "8000"))
@@ -132,6 +141,8 @@ class ASRService:
                     n_blocks=self.config.N_BLOCKS,
                     use_beam_search=self.config.USE_BEAM_SEARCH,
                     beam_width=self.config.BEAM_WIDTH,
+                    lm_path=self.config.LM_PATH,
+                    lm_fusion=self.config.LM_FUSION,
                     tokenizer_path=self.config.TOKENIZER_PATH,
                 )
                 print("Model loaded successfully!")
