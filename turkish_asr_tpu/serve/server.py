@@ -114,6 +114,8 @@ class ServerConfig:
         # thousands of times real time, so LM-fused serving is practical).
         self.LM_PATH = os.environ.get("ASR_LM_PATH") or None
         self.LM_FUSION = os.environ.get("ASR_LM_FUSION", "auto")
+        self.LM_WEIGHT = float(os.environ.get("ASR_LM_WEIGHT", "0.3"))
+        self.WORD_BONUS = float(os.environ.get("ASR_WORD_BONUS", "0.5"))
         self.TOKENIZER_PATH = os.environ.get("ASR_TOKENIZER_PATH") or None
         self.HOST = os.environ.get("ASR_HOST", "0.0.0.0")
         self.PORT = int(os.environ.get("ASR_PORT", "8000"))
@@ -143,6 +145,8 @@ class ASRService:
                     beam_width=self.config.BEAM_WIDTH,
                     lm_path=self.config.LM_PATH,
                     lm_fusion=self.config.LM_FUSION,
+                    lm_weight=self.config.LM_WEIGHT,
+                    word_bonus=self.config.WORD_BONUS,
                     tokenizer_path=self.config.TOKENIZER_PATH,
                 )
                 print("Model loaded successfully!")
