@@ -29,6 +29,10 @@ import numpy as np
 
 from turkish_asr_tpu.audio.wavio import load_audio
 
+# MXU precision of the two front-end matmuls (DFT, mel filterbank) — see
+# the note at their use site. 'highest' is the parity-tested default.
+_STFT_PRECISION = "highest"
+
 TARGET_SAMPLE_RATE = 16000
 
 
@@ -229,13 +233,15 @@ def log_mel_spectrogram(
             frames = jnp.take_along_axis(x, flat, axis=1).reshape(
                 B, n_frames, n_fft)
 
-    # precision='highest': on TPU the default f32 matmul uses bf16 MXU
-    # passes; log10 amplifies relative error on low-energy bins, so the
-    # (tiny) front-end matmuls run at full fp32 MXU precision.
-    spec = jnp.dot(frames, dft, precision="highest",
+    # _STFT_PRECISION='highest': on TPU the default f32 matmul uses bf16
+    # MXU passes; log10 amplifies relative error on low-energy bins, so
+    # the (tiny) front-end matmuls run at full fp32 MXU precision. A
+    # module-level knob so perf ablations (scripts/ab_mel_precision.py)
+    # can measure the cheaper passes without forking the function.
+    spec = jnp.dot(frames, dft, precision=_STFT_PRECISION,
                    preferred_element_type=jnp.float32)
     power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
-    mel = jnp.dot(power, fb, precision="highest",
+    mel = jnp.dot(power, fb, precision=_STFT_PRECISION,
                   preferred_element_type=jnp.float32)  # (B, T, n_mels)
 
     # AmplitudeToDB(stype="power", top_db): 10*log10(clamp(x, 1e-10)),
