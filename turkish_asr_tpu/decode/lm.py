@@ -234,9 +234,10 @@ def build_arpa_fusion_tables(lm, tokenizer, vocab_size,
     LM word — the same granularity the reference uses when *scoring* an
     appended token (it inserts a space: ``f"{context} {word}"``). For
     tokenizers whose ``decode`` joins several tokens into one word (char
-    fallback, merge-style BPE), the host context words differ, so the
-    host CTCBeamDecoder remains the bit-parity path; this table fusion is
-    the throughput path. Tokens that decode to several words walk the
+    fallback, merge-style BPE), the host context words differ, so THIS
+    builder is not the parity path for them — build_trie_fusion_tables
+    (or build_hash_fusion_tables at production ARPA sizes) is, and
+    create_decoder routes them there. Tokens that decode to several words walk the
     state machine word-by-word; tokens that decode to nothing score 0 and
     keep the state.
 
