@@ -51,20 +51,24 @@ def main():
                              ngram_counts={2: 500_000, 3: 300_000,
                                            4: 150_000})
     t0 = time.perf_counter()
-    arr, meta, ht = build(big_arpa, cfg.n_classes)
+    arr, ht = build(big_arpa, cfg.n_classes)
     print(f"100k build {time.perf_counter() - t0:.1f} s  "
-          f"table_size={meta[0]} depth={meta[1]} "
+          f"table_size={ht['table_size']} "
           f"K2={int(ht['uniq_q'].shape[0])}", flush=True)
 
-    run(cfg, params, state, arr, meta, "base")
+    run(cfg, params, state, arr, "base")
 
     orig = bs._hash_probe
+
+    # The historical linear probe's depth (the shipped cuckoo probe
+    # always gathers exactly 2 rows and carries no depth knob).
+    DEPTH = 8
 
     def probe_nogather(ht_, h1, h2):
         hp1 = bs._hash_params()[0]
         mixed = h1.astype(jnp.uint32) * jnp.uint32(hp1)
-        base = (mixed % jnp.uint32(ht_["table_size"])).astype(jnp.int32)
-        idx = base[..., None] + jnp.arange(ht_["probe_depth"])
+        base = (mixed % jnp.uint32(ht_["slab"].shape[0])).astype(jnp.int32)
+        idx = base[..., None] + jnp.arange(DEPTH)
         # synthesize (…, D, 4) rows from idx — same downstream math, no HBM
         rows = (idx[..., None] * jnp.array([3, 5, 7, 11], jnp.int32)
                 + jnp.int32(1)) ^ h2[..., None, None]
@@ -78,16 +82,17 @@ def main():
 
     def make_probe_depth(d):
         def probe(ht_, h1, h2):
-            ht2 = dict(ht_)
-            ht2["probe_depth"] = d
-            return orig(ht2, h1, h2)
+            # Historically truncated the linear-probe chain to d rows;
+            # the shipped cuckoo probe IS 2 rows, so this arm now equals
+            # "base" (kept for the record).
+            return orig(ht_, h1, h2)
         return probe
 
     def probe_smallix(ht_, h1, h2):
         hp1 = bs._hash_params()[0]
         mixed = h1.astype(jnp.uint32) * jnp.uint32(hp1)
         base = (mixed % jnp.uint32(65536)).astype(jnp.int32)
-        idx = base[..., None] + jnp.arange(ht_["probe_depth"])
+        idx = base[..., None] + jnp.arange(DEPTH)
         rows = ht_["slab"][idx]
         hit = (rows[..., 0] == h1[..., None]) & (rows[..., 1] == h2[..., None])
         hitf = hit.astype(jnp.float32)
@@ -103,7 +108,7 @@ def main():
         try:
             jax.clear_caches()
             bs._hash_probe = fn
-            run(cfg, params, state, arr, meta, label)
+            run(cfg, params, state, arr, label)
         finally:
             bs._hash_probe = orig
     jax.clear_caches()
