@@ -167,7 +167,15 @@ class ASRInference:
             trie = None
             lm_ht = None
             lm = None
-            if lm_path and os.path.exists(lm_path):
+            if lm_path and not os.path.exists(lm_path):
+                # Loud, not silent: a typo'd --lm / ASR_LM_PATH would
+                # otherwise serve an unfused (and much slower host) beam
+                # discoverable only by noticing WER/latency.
+                raise FileNotFoundError(
+                    f"LM file not found: {lm_path} (from --lm / "
+                    f"ASR_LM_PATH) — beam search would silently run "
+                    f"without LM fusion")
+            if lm_path:
                 lm = KenLMModel(lm_path)
                 from turkish_asr_tpu.decode.lm import (
                     build_arpa_fusion_tables, build_hash_fusion_tables,
@@ -219,6 +227,12 @@ class ASRInference:
                           f"{lm_ht['table_size']} hash slots, "
                           f"{lm_ht['trie_nodes']} trie nodes)")
             else:
+                if word_bonus < 0:
+                    print("WARNING: the host beam preserves the reference "
+                          "CTCBeamDecoder contract of applying word_bonus "
+                          "only when > 0 — a negative insertion penalty is "
+                          "IGNORED here (use --lm_fusion device/hash for "
+                          "flashlight-style negative word scores).")
                 self.decoder = CTCBeamDecoder(
                     self.tokenizer, beam_width=beam_width,
                     lm=lm if lm is not None else NGramLanguageModel(),
@@ -460,7 +474,12 @@ def main():
                              "alpha; applied on word-scoring extensions)")
     parser.add_argument("--word_bonus", type=float, default=0.5,
                         help="Per-word insertion bonus (the reference "
-                             "decoder's beta; reranks final beams)")
+                             "decoder's beta; reranks final beams). "
+                             "Negative values (insertion penalty, "
+                             "flashlight word_score style) apply on the "
+                             "device fusion paths; the host beam keeps "
+                             "the reference contract of ignoring "
+                             "word_bonus <= 0")
     parser.add_argument("--tokenizer_path", type=str, default=None,
                         help="Tokenizer: .json BPE vocab or HF model name")
     parser.add_argument("--trust_checkpoint", action="store_true",

@@ -24,9 +24,9 @@ sys.path.insert(0, ".")
 
 from bench import (_flagship, _make_pipeline, _synthetic_word_arpa, _waves,
                    BATCH, SECONDS, _chained_timer)
+from scripts.ab_hash_fusion import build as build_hash
 from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
 from turkish_asr_tpu.decode.lm import (ArpaLanguageModel,
-                                       build_hash_fusion_tables,
                                        build_trie_fusion_tables)
 from turkish_asr_tpu.ops.flash_attention import make_flash_attention
 
@@ -59,11 +59,7 @@ def main():
                              ngram_counts={2: 500_000, 3: 300_000,
                                            4: 150_000})
     t0 = time.perf_counter()
-    ht = build_hash_fusion_tables(ArpaLanguageModel(big_arpa), tok,
-                                  cfg.n_classes)
-    hash_arr = {k: jnp.asarray(ht[k]) for k in
-                ("keys", "vals", "pnext", "wq", "tok_kind", "qwid",
-                 "start_ctx", "unk_prob", "uniq_q", "qcol")}
+    hash_arr, _ = build_hash(big_arpa, cfg.n_classes)
     print(f"100k build {time.perf_counter() - t0:.1f} s", flush=True)
 
     for width in (8, 16, 32, 64):

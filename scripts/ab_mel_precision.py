@@ -48,26 +48,14 @@ def main():
 
     t_mel = timeit("mel stage (highest)", mel_only, (params, state), w, n)
 
-    # Patch the module-level precision the two front-end matmuls use.
-    orig = features._STFT_PRECISION if hasattr(features, "_STFT_PRECISION") \
-        else None
-    if orig is None:
-        print("no _STFT_PRECISION knob — inline precision strings; "
-              "measuring via jax.default_matmul_precision instead",
-              flush=True)
-
-        def mel_high(pstate, waveforms, wav_lengths):
-            with jax.default_matmul_precision("bfloat16_3x"):
-                return log_mel_spectrogram(waveforms, wav_lengths,
-                                           n_mels=cfg.n_mels)
-        # NOTE: explicit precision= args override the context manager, so
-        # this arm only moves if the front-end omits per-op precision.
-        t_high = timeit("mel stage (ctx high)", mel_high,
-                        (params, state), w, n)
-    else:
+    # Patch the module-level precision the two front-end matmuls use
+    # (jax.clear_caches: mel_only is re-traced, not replayed).
+    orig = features._STFT_PRECISION
+    try:
         features._STFT_PRECISION = "high"
         jax.clear_caches()
         t_high = timeit("mel stage (high)", mel_only, (params, state), w, n)
+    finally:
         features._STFT_PRECISION = orig
 
     print(f"mel share of pipeline: {100 * t_mel / t_full:.1f}%  "

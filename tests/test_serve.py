@@ -260,17 +260,15 @@ def test_transcribe_upload_timestamps(service, wav_file):
     assert status == 200 and "segments" not in payload
 
 
-def test_lm_fused_beam_serving(tiny_ckpt, wav_file, monkeypatch):
+def test_lm_fused_beam_serving(tiny_ckpt, wav_file, monkeypatch, tmp_path):
     """ASR_LM_PATH + ASR_LM_FUSION plumb the CLI's --lm/--lm_fusion
     surface into the served beam: the service must come up with an
     on-device LM-fused decoder and serve uploads with it."""
     from test_hash_fusion import ARPA
-    import tempfile
 
-    with tempfile.NamedTemporaryFile("w", suffix=".arpa",
-                                     delete=False) as f:
+    arpa_path = str(tmp_path / "lm.arpa")
+    with open(arpa_path, "w") as f:
         f.write(ARPA)
-        arpa_path = f.name
     monkeypatch.setenv("ASR_MODEL_PATH", tiny_ckpt)
     monkeypatch.setenv("USE_BEAM_SEARCH", "true")
     monkeypatch.setenv("BEAM_WIDTH", "4")
@@ -289,3 +287,25 @@ def test_lm_fused_beam_serving(tiny_ckpt, wav_file, monkeypatch):
         status, payload = svc.transcribe_upload("a.wav", f.read())
     assert status == 200
     assert payload["text"] == svc.asr.transcribe(wav_file)
+
+
+def test_lm_fusion_env_validation(tiny_ckpt, monkeypatch):
+    """A typo'd ASR_LM_FUSION must fail loudly at config time, not route
+    silently to the sequential host beam."""
+    monkeypatch.setenv("ASR_MODEL_PATH", tiny_ckpt)
+    monkeypatch.setenv("ASR_LM_FUSION", "devic")
+    with pytest.raises(ValueError, match="ASR_LM_FUSION"):
+        ServerConfig()
+    # Case/whitespace are normalized, not rejected.
+    monkeypatch.setenv("ASR_LM_FUSION", " Device ")
+    assert ServerConfig().LM_FUSION == "device"
+
+
+def test_missing_lm_path_fails_loudly(tiny_ckpt, tmp_path):
+    """--lm / ASR_LM_PATH pointing at a nonexistent file must raise, not
+    silently serve an unfused beam."""
+    from inference import ASRInference
+    with pytest.raises(FileNotFoundError, match="LM file not found"):
+        ASRInference(tiny_ckpt, use_beam_search=True, beam_width=4,
+                     lm_path=str(tmp_path / "nope.arpa"),
+                     data_parallel=False)

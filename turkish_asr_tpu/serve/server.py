@@ -113,9 +113,20 @@ class ServerConfig:
         # --lm_fusion; on-device fusion keeps batched beam decoding
         # thousands of times real time, so LM-fused serving is practical).
         self.LM_PATH = os.environ.get("ASR_LM_PATH") or None
-        self.LM_FUSION = os.environ.get("ASR_LM_FUSION", "auto")
+        # Normalize + validate like the CLI's choices=[...]: a typo here
+        # would otherwise miss every `lm_fusion in (...)` check in
+        # ASRInference and silently serve the sequential host beam.
+        self.LM_FUSION = os.environ.get("ASR_LM_FUSION", "auto").strip().lower()
+        if self.LM_FUSION not in ("auto", "device", "hash", "host"):
+            raise ValueError(
+                f"ASR_LM_FUSION={self.LM_FUSION!r} — must be one of "
+                "auto/device/hash/host (the CLI's --lm_fusion choices)")
         self.LM_WEIGHT = float(os.environ.get("ASR_LM_WEIGHT", "0.3"))
         self.WORD_BONUS = float(os.environ.get("ASR_WORD_BONUS", "0.5"))
+        if self.LM_PATH and not self.USE_BEAM_SEARCH:
+            print("WARNING: ASR_LM_PATH is set but USE_BEAM_SEARCH is not "
+                  "'true' — the LM is IGNORED on the greedy path. Set "
+                  "USE_BEAM_SEARCH=true to serve LM-fused beam decoding.")
         self.TOKENIZER_PATH = os.environ.get("ASR_TOKENIZER_PATH") or None
         self.HOST = os.environ.get("ASR_HOST", "0.0.0.0")
         self.PORT = int(os.environ.get("ASR_PORT", "8000"))
