@@ -346,3 +346,49 @@ ngram 1=4
     assert dev.decoder.lm_weight == 0.7 and dev.decoder.word_bonus == 0.0
     host = ASRInference(path, lm_fusion="host", **kw)
     assert host.decoder.lm_weight == 0.7 and host.decoder.word_bonus == 0.0
+
+
+def test_long_form_beam_lm(tmp_path):
+    """Long-form chunked logits (40 s > largest bucket) feed the fused
+    device beam: merged-chunk frame counts, the decoder's prefix cap, and
+    the fusion state machine must compose without shape errors."""
+    from inference import ASRInference
+    from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
+
+    arpa = str(tmp_path / "w.arpa")
+    with open(arpa, "w") as f:
+        f.write("""\\
+\\data\\
+ngram 1=4
+
+\\1-grams:
+-1.0\t<unk>
+-0.8\t<s>
+-0.9\t</s>
+-0.5\tbir
+
+\\end\\
+""")
+    tok = TurkishTokenizer()
+    cfg = ModelConfig(n_mels=80, d_model=32, n_heads=2, n_blocks=1,
+                      n_classes=tok.vocab_size, dropout=0.0)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint_file(path, {"model_config": {
+        "n_mels": 80, "d_model": 32, "n_heads": 2, "n_blocks": 1,
+        "n_classes": tok.vocab_size, "dropout": 0.0}}, params, state)
+
+    sr = 16000
+    x = (0.1 * np.random.default_rng(3)
+         .standard_normal(40 * sr)).astype(np.float32)
+    wav = str(tmp_path / "long.wav")
+    write_wav(wav, x, sr)
+
+    asr = ASRInference(path, compute_dtype=jnp.float32,
+                       use_beam_search=True, beam_width=4, lm_path=arpa,
+                       lm_fusion="device", data_parallel=False)
+    assert isinstance(asr.decoder, DeviceBeamDecoder)
+    logits, out_len = asr._logits(wav)
+    assert out_len > 35 * 25  # chunked path covered the whole file
+    text = asr.transcribe(wav)
+    assert isinstance(text, str)
