@@ -238,6 +238,13 @@ class ASRInference:
                     lm=lm if lm is not None else NGramLanguageModel(),
                     lm_weight=lm_weight, word_bonus=word_bonus)
         else:
+            if lm_path:
+                # Mirror the server's startup warning: an LM without beam
+                # search is silently inert, which reads as "fusion active"
+                # to the operator.
+                print("WARNING: --lm/ASR_LM_PATH is set but beam search is "
+                      "off — the LM is IGNORED on the greedy path (pass "
+                      "--beam_search / USE_BEAM_SEARCH=true).")
             self.decoder = None
         self.greedy = GreedyDecoder(self.tokenizer)
         print(f"ASR ready on {jax.devices()[0].platform}")
