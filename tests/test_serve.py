@@ -274,12 +274,16 @@ def test_lm_fused_beam_serving(tiny_ckpt, wav_file, monkeypatch, tmp_path):
     monkeypatch.setenv("BEAM_WIDTH", "4")
     monkeypatch.setenv("ASR_LM_PATH", arpa_path)
     monkeypatch.setenv("ASR_LM_FUSION", "device")
+    monkeypatch.setenv("ASR_LM_WEIGHT", "0.45")
+    monkeypatch.setenv("ASR_WORD_BONUS", "0.25")
     monkeypatch.delenv("ASR_BATCH_WINDOW_MS", raising=False)
     svc = ASRService(ServerConfig(), warmup=False)
     assert svc.asr is not None
 
     from turkish_asr_tpu.decode.factory import DeviceBeamDecoder
     assert isinstance(svc.asr.decoder, DeviceBeamDecoder)
+    assert svc.asr.decoder.lm_weight == 0.45
+    assert svc.asr.decoder.word_bonus == 0.25
     assert (svc.asr.decoder.lm_trie is not None
             or svc.asr.decoder.lm_tables is not None)
 
