@@ -135,7 +135,10 @@ class ASRInference:
         attn_kernel = None
         if use_pallas:
             from turkish_asr_tpu.ops.flash_attention import make_flash_attention
-            attn_kernel = make_flash_attention()
+            # mesh-aware: on a multi-chip mesh the kernel routes through
+            # shard_map over the data axis (a plain pallas_call under pjit
+            # would make XLA gather its operands — see make_flash_attention).
+            attn_kernel = make_flash_attention(mesh=self._mesh)
 
         @jax.jit
         def forward(params, model_state, waveform, length):

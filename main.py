@@ -129,7 +129,9 @@ def main():
     attn_kernel = None
     if config.use_pallas:
         from turkish_asr_tpu.ops.flash_attention import make_flash_attention
-        attn_kernel = make_flash_attention()
+        # mesh-aware: on multi-chip meshes the kernel runs under shard_map
+        # over the data axis (same reason as the sharded CTC kernel).
+        attn_kernel = make_flash_attention(mesh=mesh)
 
     trainer = Trainer(
         model_cfg=model_cfg,

@@ -313,3 +313,49 @@ def test_missing_lm_path_fails_loudly(tiny_ckpt, tmp_path):
         ASRInference(tiny_ckpt, use_beam_search=True, beam_width=4,
                      lm_path=str(tmp_path / "nope.arpa"),
                      data_parallel=False)
+
+
+def test_mesh_serving_matches_single_device(tiny_ckpt, tmp_path, monkeypatch):
+    """Serving on a mesh (VERDICT r4 ask #8): the default
+    data_parallel=True service on the virtual 8-device mesh must return
+    the same transcripts as a single-device service, with LM-fused beam
+    decoding active — the serve layer inherits the mesh-sharded decode
+    path verified in test_multichip_inference."""
+    arpa = str(tmp_path / "w.arpa")
+    with open(arpa, "w") as f:
+        f.write("\\data\\\n"
+                "ngram 1=4\n\n"
+                "\\1-grams:\n"
+                "-1.0\t<unk>\n-0.8\t<s>\n-0.9\t</s>\n-0.5\tbir\n\n"
+                "\\end\\\n")
+    sr = 16000
+    rng = np.random.default_rng(11)
+    uploads = []
+    for i, dur in enumerate([0.4, 0.8, 1.5]):
+        x = (0.2 * rng.standard_normal(int(sr * dur))).astype(np.float32)
+        p = str(tmp_path / f"m{i}.wav")
+        write_wav(p, x, sr)
+        with open(p, "rb") as f:
+            uploads.append((f"m{i}.wav", f.read()))
+
+    monkeypatch.setenv("ASR_MODEL_PATH", tiny_ckpt)
+    monkeypatch.setenv("USE_BEAM_SEARCH", "true")
+    monkeypatch.setenv("BEAM_WIDTH", "4")
+    monkeypatch.setenv("ASR_LM_PATH", arpa)
+    monkeypatch.setenv("ASR_LM_FUSION", "device")
+    monkeypatch.delenv("ASR_BATCH_WINDOW_MS", raising=False)
+
+    monkeypatch.setenv("ASR_DATA_PARALLEL", "true")
+    svc_mesh = ASRService(ServerConfig(), warmup=False)
+    assert svc_mesh.asr is not None and svc_mesh.asr._mesh is not None
+
+    monkeypatch.setenv("ASR_DATA_PARALLEL", "false")
+    svc_one = ASRService(ServerConfig(), warmup=False)
+    assert svc_one.asr is not None and svc_one.asr._mesh is None
+
+    s1, p1 = svc_mesh.transcribe_batch(uploads)
+    s2, p2 = svc_one.transcribe_batch(uploads)
+    assert s1 == 200 and s2 == 200
+    got = [(r["text"], r["error"]) for r in p1["results"]]
+    want = [(r["text"], r["error"]) for r in p2["results"]]
+    assert got == want

@@ -128,6 +128,12 @@ class ServerConfig:
                   "'true' — the LM is IGNORED on the greedy path. Set "
                   "USE_BEAM_SEARCH=true to serve LM-fused beam decoding.")
         self.TOKENIZER_PATH = os.environ.get("ASR_TOKENIZER_PATH") or None
+        # Additive: shard batched requests over all visible chips (the
+        # ASRInference default). "false" pins the service to one device —
+        # also what the virtual-mesh serving parity test uses as its
+        # single-device control.
+        self.DATA_PARALLEL = os.environ.get(
+            "ASR_DATA_PARALLEL", "true").strip().lower() == "true"
         self.HOST = os.environ.get("ASR_HOST", "0.0.0.0")
         self.PORT = int(os.environ.get("ASR_PORT", "8000"))
         # Cross-request micro-batching (additive; 0 = off, reference-like
@@ -159,6 +165,7 @@ class ASRService:
                     lm_weight=self.config.LM_WEIGHT,
                     word_bonus=self.config.WORD_BONUS,
                     tokenizer_path=self.config.TOKENIZER_PATH,
+                    data_parallel=self.config.DATA_PARALLEL,
                 )
                 print("Model loaded successfully!")
                 self.batcher = None
