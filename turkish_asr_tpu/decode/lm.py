@@ -660,6 +660,11 @@ def build_trie_fusion_tables(lm, tokenizer, vocab_size,
     # 3x (P, V): ptrans (host/debug) + the fused pnext/wq device tables.
     if S * Wa * 2 + trie_sz * V * 3 > max_entries:
         return None
+    if trie_sz >= (1 << 24):
+        # Node ids round-trip through f32 one-hot payload matmuls in the
+        # device beam (exact only below 2^24; ops/beam_search.py parent
+        # selection) — refuse rather than silently corrupt ids.
+        return None
     ptrans, wid, P = _word_trie_tables(uni, word_index, unk_id, tok_kind,
                                        frags, vocab_size)
     pnext, wq = derive_fused_trie_advance(ptrans, wid, tok_kind)
@@ -925,7 +930,16 @@ def build_hash_fusion_tables(lm, tokenizer, vocab_size,
     # instead of probing per candidate (ops/beam_search._beam_step).
     uniq_q, qcol = np.unique(qwid, return_inverse=True)
 
-    if _word_trie_size(uni) * V * 2 > max_entries:
+    trie_sz = _word_trie_size(uni)
+    if trie_sz * V * 2 > max_entries:
+        return None
+    if trie_sz >= (1 << 24):
+        # The entry budget admits node counts above 2^24 for tiny
+        # vocabularies (V < ~18), but node ids round-trip through f32
+        # one-hot payload matmuls in the device beam — exact only below
+        # 2^24. Refuse (falls back to the host beam) rather than
+        # silently corrupt node ids. (Word ids are already bounded by
+        # the HASH_PAD_ID check above: 2^22 < 2^24.)
         return None
     ptrans, wid, P = _word_trie_tables(uni, word_index, unk_id, tok_kind,
                                        frags, vocab_size)

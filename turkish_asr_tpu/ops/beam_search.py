@@ -45,7 +45,12 @@ NEG_INF = -1e30
 # separate dynamic gathers — a single added payload gather measured ~4.5%
 # of the whole config-4 pipeline (scripts/ab_trie_advance.py, round 4).
 # Collision budget: 48 hash bits over W*(2W^2+W) candidate pairs/step is
-# ~2^-34 per utterance-second at beam 16.
+# ~2^-34 per utterance-second at beam 16. The pair count grows ~W^3, so
+# the budget degrades cubically with beam width: W=32 ~2^-31, W=64 ~2^-28,
+# W=128 ~2^-25 — still < 1e-7 per utterance-second at the widest beam the
+# bench sweeps (W=64, scripts/ab_beam_width.py), and a dual collision's
+# failure mode is one wrongly-merged beam pair in one utterance, not a
+# corrupted table. Revisit the moduli before offering W > 256.
 _P1, _M1 = 1000003, 16777213     # largest prime < 2^24
 _P2, _M2 = 4097, 16777183
 
@@ -258,11 +263,17 @@ def _hash_lm_scores(ht, ctx, wids):
     # into a single concatenated gather was MEASURED SLOWER (110.6 vs
     # 98.1 ms/iter on the 100k config-4 bench) — the (K + m(W+WK),)
     # concats cost more than the per-op overhead they save. Don't re-fuse.
-    # j = 0: unigram (w,) — shared across beams.
-    u1 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp1, hm1)
-    u2 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp2, hm2)
-    f0, p0, _ = _hash_probe(ht, u1, u2)
-    s = jnp.broadcast_to(jnp.where(f0, p0, ht["unk_prob"])[None, :], (W, K))
+    # j = 0: unigram (w,) — shared across beams AND (under probe-dedup,
+    # where wids = the static uniq_q) across scan steps: the caller
+    # hoists it out of the scan as "_s0" (ctc_beam_search) so the
+    # unigram rows are fetched once per search, not once per frame.
+    s0 = ht.get("_s0")
+    if s0 is None:
+        u1 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp1, hm1)
+        u2 = _hash_step(jnp.zeros((K,), jnp.int32), wids, hp2, hm2)
+        f0, p0, _ = _hash_probe(ht, u1, u2)
+        s0 = jnp.where(f0, p0, ht["unk_prob"])
+    s = jnp.broadcast_to(s0[None, :], (W, K))
     wk = jnp.broadcast_to(wids[None, :], (W, K))
     for j in range(1, m + 1):
         sfx = ctx[:, m - j:]                          # (W, j)
@@ -390,7 +401,10 @@ def _beam_step(state, logp_t, active, beam_width, blank_id,
             lm = jnp.dot(lm_all, oh.T, precision="highest")          # (W, K)
         else:
             q = _vec_lookup(lm_hash["qwid"], top_tok).astype(jnp.int32)
-            lm = _hash_lm_scores(lm_hash, lm_ctx, q)                # (W, K)
+            # per-candidate wids vary by step: the hoisted "_s0" (computed
+            # over the static uniq_q) does not apply here.
+            ht2 = {k: v for k, v in lm_hash.items() if k != "_s0"}
+            lm = _hash_lm_scores(ht2, lm_ctx, q)                    # (W, K)
         lm = jnp.where(scores_word[None, :], lm, 0.0)
         ext_pnb = jnp.where(is_repeat | is_blank, ext_pnb,
                             ext_pnb + lm_weight * lm)
@@ -701,8 +715,21 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         raise ValueError(
             "pass at most one of lm_bias/lm_tables/lm_trie/lm_hash")
     B, T, V = log_probs.shape
-    for tabs in (lm_trie, lm_hash):
-        if tabs is not None and tabs["pnext"].shape[1] != V:
+    for name, tabs in (("lm_trie", lm_trie), ("lm_hash", lm_hash)):
+        if tabs is None:
+            continue
+        if "pnext" not in tabs or "wq" not in tabs:
+            # Pre-round-4 dicts carry ptrans/wid only; a bare KeyError
+            # below would hide the actual problem. DeviceBeamDecoder
+            # backfills old dicts automatically — direct callers must
+            # rebuild (or derive) themselves because this function is
+            # jitted and cannot run the host-side derivation.
+            raise ValueError(
+                f"{name} lacks the fused advance tables 'pnext'/'wq' "
+                f"(added round 4) — rebuild the fusion tables, or derive "
+                f"them with decode.lm.derive_fused_trie_advance(ptrans, "
+                f"wid, tok_kind) as decode.factory.DeviceBeamDecoder does")
+        if tabs["pnext"].shape[1] != V:
             raise ValueError(
                 f"fusion tables were built for vocab_size="
                 f"{tabs['pnext'].shape[1]} but log_probs has V={V} — "
@@ -755,6 +782,16 @@ def ctc_beam_search(log_probs, lengths=None, *, beam_width=16, blank_id=0,
         if "uniq_q" in lm_hash:  # probe-dedup (builders emit since r4)
             ht["uniq_q"] = jnp.asarray(lm_hash["uniq_q"], jnp.int32)
             ht["qcol"] = jnp.asarray(lm_hash["qcol"], jnp.int32)
+            # Hoist the unigram scores out of the scan: under probe-dedup
+            # the candidate word-id set IS uniq_q (static), so the j=0
+            # probe is step-invariant — fetch its rows once per search
+            # instead of once per frame (round 5; _hash_lm_scores).
+            hp1, hm1, hp2, hm2 = _hash_params()
+            uq = ht["uniq_q"]
+            z = jnp.zeros(uq.shape, jnp.int32)
+            f0, p0, _ = _hash_probe(ht, _hash_step(z, uq, hp1, hm1),
+                                    _hash_step(z, uq, hp2, hm2))
+            ht["_s0"] = jnp.where(f0, p0, ht["unk_prob"])
         out = jax.vmap(lambda lp, n: fn(lp, n, lm_hash=ht))(
             log_probs, lengths)
     elif lm_tables is not None:
