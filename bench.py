@@ -493,10 +493,16 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10,
     tx, schedule = make_optimizer(5e-4, 1e-6, total_steps=1000,
                                   accumulation_steps=accumulation_steps)
     mesh = make_mesh(f"data={len(jax.devices())}")
+    # The shipped char tokenizer (vocab 56 >= the flagship's 55 classes):
+    # enables the eval step's WER/CER path — BASELINE config 2 is
+    # specified as "greedy WER/CER eval each epoch", so the artifact must
+    # carry the metric, not a "Tokenizer not provided" warning.
+    from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
     trainer = Trainer(
         model_cfg=cfg, params=params, model_state=model_state,
         optimizer=tx, schedule=schedule, config=get_config([]),
         logger=get_logger("bench", log_file="/tmp/bench_train.log"),
+        tokenizer=TurkishTokenizer(),
         mesh=mesh, accumulation_steps=accumulation_steps,
         compute_dtype=jnp.bfloat16, augment=augment,
         attn_kernel=attn_kernel)
@@ -526,6 +532,7 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10,
     sec = (time.perf_counter() - start) / n_steps
 
     eval_sec = None
+    eval_metrics = None
     if not augment:
         # config 2 includes the per-epoch greedy WER eval loop: time the
         # jitted eval step (loss + on-device greedy collapse).
@@ -536,7 +543,18 @@ def _train_step_ms(batch_size, augment, accumulation_steps, n_steps=10,
             loss, ids, counts = trainer._eval_step(p, ms, batch)
         np.asarray(counts)
         eval_sec = (time.perf_counter() - start) / n_steps
-    return sec, eval_sec
+        # Score the eval ids through the full WER/CER path (decode ->
+        # corpus metrics). On this synthetic batch (untrained model,
+        # noise audio, random targets) the VALUE is ~1.0 by construction;
+        # the field certifies the metric pipeline runs on device output —
+        # the accuracy story lives in the held-out parity evidence
+        # (tests/test_heldout_wer_parity.py + AGENTS.md sweep).
+        result, _, _ = trainer.metrics.compute_from_ids(
+            np.asarray(ids), np.asarray(counts),
+            np.asarray(jax.device_get(batch["targets"])))
+        eval_metrics = {"wer": round(float(result["wer"]), 4),
+                        "cer": round(float(result["cer"]), 4)}
+    return sec, eval_sec, eval_metrics
 
 
 def _train_mfu(batch_size, sec):
