@@ -41,11 +41,13 @@ from turkish_asr_tpu.train.checkpoint import (
 
 def _batched_loss(params, model_state, feats, frame_lengths, batch, *,
                   cfg, train, rng, compute_dtype, attn_kernel=None,
-                  act_constraint=None, remat=False, ctc_fn=None):
+                  act_constraint=None, remat=False, remat_policy=None,
+                  ctc_fn=None):
     logits, new_state = apply_model(
         params, model_state, feats, frame_lengths, cfg=cfg, train=train,
         rng=rng, compute_dtype=compute_dtype, attn_kernel=attn_kernel,
-        act_constraint=act_constraint, remat=remat)
+        act_constraint=act_constraint, remat=remat,
+        remat_policy=remat_policy)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ctc_lengths = frame_lengths // 4  # reference length contract
     if ctc_fn is None:
@@ -56,6 +58,23 @@ def _batched_loss(params, model_state, feats, frame_lengths, batch, *,
     mask = batch["sample_mask"]
     loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return loss, (new_state, logits)
+
+
+def _resolve_remat_policy(name):
+    """--remat_policy -> jax.checkpoint policy.
+
+    'full' (default): policy=None — save only block inputs, recompute
+    everything (the measured d=256 winner, scripts/ab_remat.py).
+    'dots': dots_with_no_batch_dims_saveable — save matmul outputs whose
+    contraction has no batch dims (weight-side matmuls), recompute the
+    rest; the candidate for kernel-on long-form training where full remat
+    re-runs the flash kernel's forward inside the backward
+    (scripts/ab_remat_L.py)."""
+    if name in (None, "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy: {name!r} (full|dots)")
 
 
 def _opt_step_count(opt_state):
@@ -188,6 +207,8 @@ class Trainer:
         # micro-steps at B=32 — the saved (B,H,T',T') attention-probs
         # residuals are HBM-bound (scripts/ab_remat.py).
         remat = not getattr(self.config, "no_remat", False)
+        remat_policy = _resolve_remat_policy(
+            getattr(self.config, "remat_policy", "full"))
         ctc_fn = self._make_ctc_fn()
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -206,7 +227,7 @@ class Trainer:
                 cfg=cfg, train=True, rng=drop_rng,
                 compute_dtype=compute_dtype, attn_kernel=attn_kernel,
                 act_constraint=act_constraint, remat=remat,
-                ctc_fn=ctc_fn)
+                remat_policy=remat_policy, ctc_fn=ctc_fn)
 
             # NaN/Inf batch skip: no grads applied, no state advanced.
             # Checked on loss AND gradients: a non-finite activation in a

@@ -106,6 +106,15 @@ def get_config(argv=None):
                              "intermediate — measured 14%% faster micro-steps at B=32 "
                              "(the (B,H,T',T') attention-probs residuals are HBM-bound); "
                              "mathematically identical (same RNG draws), so mainly for debugging")
+    parser.add_argument("--remat_policy", type=str, default="full",
+                        choices=["full", "dots"],
+                        help="Rematerialization policy for the per-block checkpoint "
+                             "(active unless --no_remat): 'full' recomputes everything "
+                             "(d=256 winner); 'dots' saves weight-side matmul outputs "
+                             "(dots_with_no_batch_dims_saveable) — candidate for "
+                             "kernel-on long-form training where full remat re-runs "
+                             "the flash-attention kernel's forward in the backward "
+                             "(measured in scripts/ab_remat_L.py)")
 
     config = parser.parse_args(argv)
     return config
