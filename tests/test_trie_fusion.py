@@ -223,3 +223,55 @@ def test_cell_lookup_strategies_agree():
         bs._CELL_GATHER_MIN_ELEMS = saved
     np.testing.assert_array_equal(np.asarray(outer_oh), np.asarray(outer_g))
     np.testing.assert_array_equal(np.asarray(pair_oh), np.asarray(pair_g))
+
+
+def test_pre_round4_trie_dict_raises_clear_error():
+    """A fusion dict lacking the fused advance tables (pnext/wq — built
+    before round 4) must raise the rebuild-your-tables ValueError, not a
+    bare KeyError (round-4 ADVICE #2). DeviceBeamDecoder backfills such
+    dicts; only direct ctc_beam_search callers see the error."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from turkish_asr_tpu.ops.beam_search import ctc_beam_search
+
+    V = 6
+    old_dict = {  # ptrans/wid-only shape of a pre-round-4 build
+        "score_w": np.zeros((2, 2), np.float32),
+        "next_w": np.zeros((2, 2), np.int32),
+        "ptrans": np.zeros((2, V), np.int32),
+        "wid": np.zeros((2,), np.int32),
+        "tok_kind": np.zeros((V,), np.int32),
+        "qwid": np.zeros((V,), np.int32),
+    }
+    lp = jnp.zeros((1, 4, V), jnp.float32)
+    with pytest.raises(ValueError, match="pnext"):
+        ctc_beam_search(lp, beam_width=2, lm_trie=old_dict)
+
+
+def test_trie_builder_refuses_f32_inexact_node_counts(monkeypatch):
+    """Trie node counts >= 2^24 must make the builders return None (node
+    ids round-trip through f32 one-hot payload matmuls in the device
+    beam — silent id corruption otherwise; round-4 ADVICE #1). Pinned by
+    stubbing the size estimator: building a real 16M-node trie would
+    need gigabytes."""
+    from turkish_asr_tpu.decode import lm as lm_mod
+    from turkish_asr_tpu.data.tokenizer import TurkishTokenizer
+
+    arpa_lines = ("\\data\\\nngram 1=4\n\n\\1-grams:\n"
+                  "-1.0\t<unk>\n-0.8\t<s>\n-0.9\t</s>\n-0.5\tbir\n\n\\end\\\n")
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".arpa",
+                                     delete=False) as f:
+        f.write(arpa_lines)
+        path = f.name
+    try:
+        tok = TurkishTokenizer()
+        monkeypatch.setattr(lm_mod, "_word_trie_size",
+                            lambda uni: 1 << 24)
+        assert lm_mod.build_trie_fusion_tables(
+            path, tok, tok.vocab_size) is None
+        assert lm_mod.build_hash_fusion_tables(
+            lm_mod.KenLMModel(path), tok, tok.vocab_size) is None
+    finally:
+        os.unlink(path)
