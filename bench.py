@@ -573,9 +573,11 @@ def _train_mfu(batch_size, sec):
 
 
 def bench_train_small():
-    sec, eval_sec = _train_step_ms(8, augment=False, accumulation_steps=1)
+    sec, eval_sec, eval_metrics = _train_step_ms(
+        8, augment=False, accumulation_steps=1)
     _emit("train_step_ms_b8", sec * 1e3, "ms/step", config=2,
           eval_step_ms=round(eval_sec * 1e3, 2),
+          **(eval_metrics or {}),
           audio_sec_per_sec=round(8 * SECONDS / sec, 2),
           mfu=_train_mfu(8, sec),
           # B=8 cost anatomy (scripts/profile_config2.py, VERDICT r3 #5):
@@ -589,7 +591,7 @@ def bench_train_small():
 
 
 def bench_train_aug():
-    sec, _ = _train_step_ms(32, augment=True, accumulation_steps=4)
+    sec, _, _ = _train_step_ms(32, augment=True, accumulation_steps=4)
     _emit("train_step_ms_b32_aug", sec * 1e3, "ms/microstep", config=3,
           accumulation_steps=4,
           audio_sec_per_sec=round(32 * SECONDS / sec, 2),
@@ -608,12 +610,12 @@ def bench_train_conformer_l():
 
     cfg = _flagship_cfg(d_model=512, n_heads=8, n_blocks=16)
     B, seconds = 4, 64.0
-    sec_on, _ = _train_step_ms(B, augment=True, accumulation_steps=1,
-                               n_steps=6, cfg=cfg, seconds=seconds,
-                               attn_kernel=make_flash_attention())
-    sec_off, _ = _train_step_ms(B, augment=True, accumulation_steps=1,
-                                n_steps=6, cfg=cfg, seconds=seconds,
-                                attn_kernel=None)
+    sec_on, _, _ = _train_step_ms(B, augment=True, accumulation_steps=1,
+                                  n_steps=6, cfg=cfg, seconds=seconds,
+                                  attn_kernel=make_flash_attention())
+    sec_off, _, _ = _train_step_ms(B, augment=True, accumulation_steps=1,
+                                   n_steps=6, cfg=cfg, seconds=seconds,
+                                   attn_kernel=None)
     peak, _ = _peak_flops()
     flops = 3 * model_forward_flops(cfg, seconds) * B
     _emit("train_step_ms_conformer_l", sec_on * 1e3, "ms/step",
